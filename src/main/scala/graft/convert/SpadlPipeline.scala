@@ -1,0 +1,74 @@
+package graft.convert
+
+import graft.codec.TokenCodec
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch decode+convert pipeline over the engine input table
+  * `(doc_id, tokens, n_tok, source)` (BASELINE.json `input_hint`).
+  *
+  * Shape (SURVEY.md §3.1): scan -> [keypass side join J1] -> per-doc token
+  * decode -> per-game SPADL conversion, as ONE typed Dataset transform. The
+  * per-game conversion is embarrassingly parallel over `doc_id` (the
+  * reference's `lapply(game_ids, ...)` axis, R/opta_spadl.R:14-37) — no
+  * shuffle is needed beyond the keypass join: decode+convert is a narrow
+  * flatMap over the scan partitions, so the plan scales linearly with input
+  * splits at any cluster size.
+  */
+object SpadlPipeline {
+
+  /** Keypass tuple carried per doc after the side-stream aggregation. */
+  final case class Kp(event_id: Int, pass_type: String)
+  /** not private: Catalyst codegen must reach the deserializer */
+  final case class DocWithKp(
+      doc_id: String, tokens: Array[Int], source: String,
+      kps: Option[Seq[Kp]])
+
+  /** Decode one doc and convert it to SPADL actions (pure; shared with the
+    * streaming state function).
+    */
+  def convertDoc(docId: String, tokens: Array[Int],
+      kps: Seq[Kp]): Vector[SpadlAction] = {
+    val gameId = docId.toInt
+    TokenCodec.decode(tokens) match {
+      case TokenCodec.OptaGame(home, wires) =>
+        val byEvent: Map[Int, String] =
+          kps.groupBy(_.event_id).map { case (k, v) => k -> v.head.pass_type }
+        val raws = wires.map { w =>
+          val r = TokenCodec.toOptaRaw(gameId, home, w)
+          byEvent.get(w.event_id) match {
+            case Some("key") => r.copy(keypass = true)
+            case Some("assisst") => r.copy(assist = true) // sic, R/opta_events.R:96
+            case _ => r
+          }
+        }
+        OptaGameConverter.convert(raws)
+      case TokenCodec.InstatGame(home, wires) =>
+        InstatGameConverter.convert(gameId, home, wires.map(TokenCodec.toInstatRaw))
+    }
+  }
+
+  /** Batch conversion: token docs (+ optional keypass side table) ->
+    * Dataset[SpadlAction].
+    */
+  def convert(spark: SparkSession, docs: Dataset[TokenDoc],
+      keypass: Option[Dataset[KeypassRow]] = None): Dataset[SpadlAction] = {
+    import spark.implicits._
+    val withKp: Dataset[DocWithKp] = keypass match {
+      case Some(kp) =>
+        // J1: aggregate the outcome stream per doc, then a single equi join
+        // on doc_id (shuffle-hash/broadcast by size — Catalyst + AQE pick).
+        val kpAgg = kp.groupBy($"doc_id")
+          .agg(collect_list(struct($"event_id", $"pass_type")).as("kps"))
+        docs.join(kpAgg, Seq("doc_id"), "left")
+          .select($"doc_id", $"tokens", $"source", $"kps")
+          .as[DocWithKp]
+      case None =>
+        docs.select($"doc_id", $"tokens", $"source",
+          lit(null).cast("array<struct<event_id:int,pass_type:string>>").as("kps"))
+          .as[DocWithKp]
+    }
+    withKp.flatMap(d => convertDoc(d.doc_id, d.tokens, d.kps.getOrElse(Nil)))
+  }
+}
