@@ -121,6 +121,12 @@ object Features {
     cols += "dy_a01" -> (lag(ey, 1).over(w) - sy)
     cols += "dx_a02" -> (lag(ex, 2).over(w) - sx)
     cols += "dy_a02" -> (lag(ey, 2).over(w) - sy)
+    cols += "mov_a01" -> sqrt(
+      (lag(ex, 1).over(w) - sx) * (lag(ex, 1).over(w) - sx) +
+        (lag(ey, 1).over(w) - sy) * (lag(ey, 1).over(w) - sy))
+    cols += "mov_a02" -> sqrt(
+      (lag(ex, 2).over(w) - sx) * (lag(ex, 2).over(w) - sx) +
+        (lag(ey, 2).over(w) - sy) * (lag(ey, 2).over(w) - sy))
     cols += "goalscore_team" -> gsTeam
     cols += "goalscore_opponent" -> gsOpp
     cols += "goalscore_diff" -> (gsTeam - gsOpp)
@@ -128,38 +134,29 @@ object Features {
     cols ++= lag3(timeSec, "time_seconds")
     cols ++= lag3(timeOverall, "time_seconds_overall")
 
-    var out = actions
-    cols.foreach { case (n, c) => out = out.withColumn(n, c) }
-    // mov_a01/a02 derive from already-materialized delta columns
-    out = out
-      .withColumn("mov_a01",
-        sqrt(col("dx_a01") * col("dx_a01") + col("dy_a01") * col("dy_a01")))
-      .withColumn("mov_a02",
-        sqrt(col("dx_a02") * col("dx_a02") + col("dy_a02") * col("dy_a02")))
-
     if (withLabels) {
       // labels_old.R:18-51 — SQL OR's ternary logic == R's `|` NA logic
-      val scores0: Column = isGoal
-      val concedes0: Column = isOwngoal
-      val scores = (1 to 9).foldLeft(scores0) { (acc, k) =>
+      val scores = (1 to 9).foldLeft(isGoal: Column) { (acc, k) =>
         acc ||
           (lag(isGoal, -k).over(w) &&
             (lag(col("team_id"), -k).over(w) === col("team_id"))) ||
           (lag(isOwngoal, -k).over(w) &&
             (lag(col("team_id"), -k).over(w) =!= col("team_id")))
       }
-      val concedes = (1 to 9).foldLeft(concedes0) { (acc, k) =>
+      val concedes = (1 to 9).foldLeft(isOwngoal: Column) { (acc, k) =>
         acc || lag(isOwngoal, -k).over(w)
       }
-      out = out.withColumn("scores", scores).withColumn("concedes", concedes)
+      cols += "scores" -> scores
+      cols += "concedes" -> concedes
     }
 
-    val featureCols = out.columns.filterNot(keyCols.contains)
+    // ONE projection (a withColumn loop would stack ~165 Projects and make
+    // analysis quadratic); every feature cast to double like the reference's
+    // all-numeric coercion. na.drop treats NaN as missing, matching R's
+    // is.na(NaN) == TRUE (model_data.R:23).
     val keyed = Seq("game_id", "event_id", "action_idx").map(col) ++
-      featureCols.map(n => col(n).cast("double").as(n))
-    // drop_na over the feature columns (model_data.R:23) — Spark's na.drop
-    // also treats NaN as missing, matching R's is.na(NaN) == TRUE
-    out.select(keyed: _*).na.drop()
+      cols.map { case (n, c) => c.cast("double").as(n) }
+    actions.select(keyed: _*).na.drop()
   }
 
   /** SPADL columns excluded from the numeric cast / NA-drop key set. */

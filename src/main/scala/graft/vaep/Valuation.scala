@@ -90,7 +90,11 @@ object Valuation {
   }
 
   /** Adds scores/concedes probabilities + VAEP values to a SPADL action
-    * frame — one window partition by game, all expressions codegen'd.
+    * frame. Built as exactly TWO Window stages over the same
+    * (game_id, action_idx) partitioning — one for the running goalscore,
+    * one for the lag-1 prevs — sharing a single exchange+sort; everything
+    * else is whole-stage-codegen projections. (A naive withColumn chain
+    * duplicates the window nodes five-fold.)
     */
   def value(actions: DataFrame): DataFrame = {
     val sx = flipped("start_x", SpadlConfig.FieldLength)
@@ -102,40 +106,45 @@ object Valuation {
     val isShot = col("type_name").contains("shot")
     val isSuccess = col("result_name") === "success"
     val isFail = col("result_name") === "fail"
-    val gs = goalscoreDiff
 
     def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    // stage 1: ONE window pass computing the goalscore diff, then the two
+    // probabilities as a plain projection.
     // EXACT same op order as scoreP/concedeP (bitwise parity w/ streaming)
-    val scoresC = sig(lit(SB) + lit(SWEndDist) * endDist +
-      lit(SWShot) * isShot.cast("double") +
-      lit(SWSuccess) * isSuccess.cast("double") + lit(SWGsDiff) * gs)
-    val concedesC = sig(lit(CB) + lit(CWStartDist) * startDist +
-      lit(CWEndDist) * endDist + lit(CWFail) * isFail.cast("double") +
-      lit(CWGsDiff) * gs)
+    val stage1 = actions.select(col("*"), goalscoreDiff.as("_gs"))
+      .select(col("*"),
+        sig(lit(SB) + lit(SWEndDist) * endDist +
+          lit(SWShot) * isShot.cast("double") +
+          lit(SWSuccess) * isSuccess.cast("double") +
+          lit(SWGsDiff) * col("_gs")).as("scores"),
+        sig(lit(CB) + lit(CWStartDist) * startDist +
+          lit(CWEndDist) * endDist + lit(CWFail) * isFail.cast("double") +
+          lit(CWGsDiff) * col("_gs")).as("concedes"))
+      .drop("_gs")
 
-    val withP = actions
-      .withColumn("scores", scoresC)
-      .withColumn("concedes", concedesC)
+    // stage 2: ONE window pass for all lag-1 columns, then pure arithmetic
+    val stage2 = stage1.select(col("*"),
+      lag(col("team_id"), 1).over(w).as("_lteam"),
+      lag(col("scores"), 1).over(w).as("_lscores"),
+      lag(col("concedes"), 1).over(w).as("_lconcedes"),
+      lag(col("time_seconds"), 1).over(w).as("_lts"),
+      (lag(isShot, 1).over(w) &&
+        lag(col("result_name"), 1).over(w).isin("success", "owngoal"))
+        .as("_lgoal"))
 
-    val sameTeam = col("team_id") === lag(col("team_id"), 1).over(w)
-    val lagScores = lag(col("scores"), 1).over(w)
-    val lagConcedes = lag(col("concedes"), 1).over(w)
-    val tooLong = abs(col("time_seconds") - lag(col("time_seconds"), 1).over(w)) >
-      lit(10.0)
-    val prevGoal = lag(isShot, 1).over(w) &&
-      lag(col("result_name"), 1).over(w).isin("success", "owngoal")
+    val sameTeam = col("team_id") === col("_lteam")
+    val tooLong = abs(col("time_seconds") - col("_lts")) > lit(10.0)
     def prevP(same: Column, other: Column): Column = coalesce(
-      when(tooLong || prevGoal, lit(0.0))
+      when(tooLong || col("_lgoal"), lit(0.0))
         .otherwise(when(sameTeam, same).otherwise(other)),
       lit(0.0)) // first action of the game: prev = 0
 
-    val off = col("scores") - prevP(lagScores, lagConcedes)
-    val dfn = -(col("concedes") - prevP(lagConcedes, lagScores))
-    withP
-      .withColumn("offensive_value", off)
-      .withColumn("defensive_value", dfn)
-      .withColumn("vaep_value",
-        col("offensive_value") + col("defensive_value"))
+    val off = col("scores") - prevP(col("_lscores"), col("_lconcedes"))
+    val dfn = -(col("concedes") - prevP(col("_lconcedes"), col("_lscores")))
+    stage2.select(col("*"),
+        off.as("offensive_value"), dfn.as("defensive_value"),
+        (off + dfn).as("vaep_value"))
+      .drop("_lteam", "_lscores", "_lconcedes", "_lts", "_lgoal")
   }
 }
 
