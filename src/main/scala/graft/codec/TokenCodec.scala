@@ -121,6 +121,42 @@ object TokenCodec {
     }
   }
 
+  /** Decode a single self-delimiting event group (streaming: one event
+    * per stream row).
+    */
+  def decodeOptaGroup(g: Array[Int]): OptaWire = {
+    val nq = g(10)
+    val quals = Vector.newBuilder[(Int, Int)]
+    var q = 0
+    while (q < nq) { quals += ((g(11 + 2 * q), g(12 + 2 * q))); q += 1 }
+    OptaWire(g(0), g(1), g(2), g(3), g(4), g(5), g(6), g(7) == 1, g(8), g(9),
+      quals.result())
+  }
+
+  def decodeInstatGroup(g: Array[Int]): InstatWire =
+    InstatWire(g(0), g(1), g(2), g(3), g(4), g(5), g(6), g(7), g(8), g(9),
+      g(10) == 1, g(11), g(12), g(13), g(14), g(15))
+
+  /** Split a doc's tokens into (header-implied provider/home, per-event
+    * groups) without fully materializing typed events.
+    */
+  def eventGroups(tokens: Array[Int]): (Int, Int, Vector[Array[Int]]) = {
+    require(tokens(0) == Version)
+    val provider = tokens(1)
+    val home = tokens(2)
+    val n = tokens(3)
+    val out = Vector.newBuilder[Array[Int]]
+    var i = 4
+    var k = 0
+    while (k < n) {
+      val len = if (provider == ProviderOpta) 11 + 2 * tokens(i + 10) else 16
+      out += java.util.Arrays.copyOfRange(tokens, i, i + len)
+      i += len
+      k += 1
+    }
+    (provider, home, out.result())
+  }
+
   // ------------------------------------------- wire -> typed raw events
 
   /** Opta end-coordinate resolution (F10, /root/reference/R/opta_events.R:

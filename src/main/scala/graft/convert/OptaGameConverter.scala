@@ -72,7 +72,17 @@ object OptaGameConverter {
       case _ => if (outcome) "success" else "fail"
     }
 
-  def convert(events: Seq[OptaRawEvent]): Vector[SpadlAction] = {
+  def convert(events: Seq[OptaRawEvent]): Vector[SpadlAction] =
+    convertWithSrc(events).map(_._1)
+
+  /** Like [[convert]] but each action carries the 0-based position (in the
+    * sorted, period-filtered event order) of its source event — synthesized
+    * dribbles carry their NEXT action's position. Used by the streaming
+    * state function to bound the watermark-stable emission prefix: an
+    * action with src <= k is unaffected by any event at position > k+1
+    * (max lookahead: clearance end-fix W2 / dribble pairing W4 = 1 event).
+    */
+  def convertWithSrc(events: Seq[OptaRawEvent]): Vector[(SpadlAction, Int)] = {
     if (events.isEmpty) return Vector.empty
     val gameId = events.head.game_id
 
@@ -121,12 +131,13 @@ object OptaGameConverter {
       else p
     }
 
-    // P2 non-action filter (R/opta_spadl.R:146)
-    val acts = cleared.filter(_.type_name != "non_action")
+    // P2 non-action filter (R/opta_spadl.R:146); keep source positions
+    val acts: Vector[(Parsed, Int)] = cleared.zipWithIndex
+      .filter(_._1.type_name != "non_action")
 
     // W4 dribble synthesis (R/opta_spadl.R:151-191)
     val dribbles = acts.sliding(2).collect {
-      case Vector(prev, nex) if {
+      case Vector((prev, _), (nex, nexSrc)) if {
         val dx = prev.end_x - nex.start_x
         val dy = prev.end_y - nex.start_y
         val d2 = dx * dx + dy * dy
@@ -135,23 +146,24 @@ object OptaGameConverter {
           d2 <= MaxDribbleLength * MaxDribbleLength &&
           (nex.time_seconds - prev.time_seconds) < MaxDribbleDuration
       } =>
-        nex.copy(
+        (nex.copy(
           time_seconds = 0.5 * (prev.time_seconds + nex.time_seconds),
           start_x = prev.end_x, start_y = prev.end_y,
           end_x = nex.start_x, end_y = nex.start_y,
           bodypart_id = 0, bodypart_name = "foot",
           type_name = "dribble",
-          result_name = "success", result_id = resultIdByName("success"))
+          result_name = "success", result_id = resultIdByName("success")),
+          nexSrc)
     }.toVector
 
     // rbind(events, dribbles) then STABLE re-sort by (period, time)
     // (R/opta_spadl.R:189-190) — equal keys keep concat order, so a dribble
     // sorts after every event sharing its (period_id, time_seconds).
     val merged = (acts ++ dribbles)
-      .sortBy(p => (p.period_id, p.time_seconds)) // scala sortBy is stable
+      .sortBy { case (p, _) => (p.period_id, p.time_seconds) } // stable
 
-    merged.zipWithIndex.map { case (p, i) =>
-      SpadlAction(
+    merged.zipWithIndex.map { case ((p, src), i) =>
+      (SpadlAction(
         game_id = gameId, event_id = p.event_id, action_idx = i + 1,
         period_id = p.period_id, minute = p.minute, second = p.second,
         time_seconds = p.time_seconds, player_id = p.player_id,
@@ -161,7 +173,7 @@ object OptaGameConverter {
         type_id = actionIdByName(p.type_name), type_name = p.type_name,
         result_id = p.result_id, result_name = p.result_name,
         bodypart_id = p.bodypart_id, bodypart_name = p.bodypart_name,
-        assist = p.assist, keypass = p.keypass)
+        assist = p.assist, keypass = p.keypass), src)
     }
   }
 }

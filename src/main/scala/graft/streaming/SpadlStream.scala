@@ -1,0 +1,261 @@
+package graft.streaming
+
+import graft.codec.TokenCodec
+import graft.convert.{InstatGameConverter, OptaGameConverter}
+import graft.model._
+import graft.vaep.ValuationCore
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming CEP core (north star, BASELINE.json):
+  * raw tokenized event rows -> SPADL -> VAEP, incrementally, keyed by
+  * `doc_id` in `flatMapGroupsWithState` with an event-time watermark.
+  *
+  * Stream shape: ONE ROW PER RAW EVENT `(doc_id, source, provider,
+  * home_team_id, seq, event_time, group)` — `group` is the event's token
+  * group (the same int32 codec as the batch table; FIXTURES.md §2), `seq`
+  * the position in the sequence, `event_time` = epoch base + in-game time
+  * on a sort-compatible axis ((period-1)*3600 + 60*min + sec for Opta;
+  * time_in_seconds for InStat).
+  *
+  * Emission protocol (per key):
+  *  - arriving rows below the current watermark are dropped (late) and
+  *    counted; duplicate `seq` deliveries are dropped (idempotent input);
+  *  - Opta: the safe prefix = buffered events with event_time < watermark,
+  *    in seq order. Since any future row sorts after every safe event
+  *    (event_time is sort-compatible and late rows are dropped), actions
+  *    whose source position <= |safe| - 2 are final — conversion lookahead
+  *    is 1 event (W2 clearance / W4 dribble) — and VAEP needs only the
+  *    PRECEDING action (lag-1 sliding window kept in state), so they are
+  *    emitted immediately and exactly once;
+  *  - InStat: result attribution and the freekick filter are whole-frame
+  *    (quirk Q4, R/instat_spadl.R:432-489,237-245), so the game emits on
+  *    session close;
+  *  - session close: event-time timeout at max(event_time) + sessionGap
+  *    flushes the remainder and clears state (state is O(game), bounded by
+  *    the domain, NOT by stream length — 10^12 sequences never coexist
+  *    because closed sessions leave the store).
+  */
+object SpadlStream {
+
+  final case class StreamEvent(
+      doc_id: String, source: String, provider: Int, home_team_id: Int,
+      seq: Int, event_time: Timestamp, group: Array[Int],
+      pass_type: Option[String])
+
+  /** One buffered raw event inside the state store. */
+  final case class BufEvent(seq: Int, ts: Long, group: Array[Int],
+      pass_type: Option[String])
+
+  /** `frontierTs` = the emission frontier: the watermark-minus-lag bound
+    * used at the last emission. Rows below it are genuinely late (their
+    * region is already emitted); rows between frontier and the current
+    * watermark are legitimate upstream-delayed deliveries (e.g. unmatched
+    * left rows a stream-stream outer join releases only after the
+    * watermark closes their join window) and are accepted.
+    */
+  final case class GameBuf(
+      provider: Int, home: Int, events: Seq[BufEvent], emittedActions: Int,
+      frontierTs: Long)
+
+  /** Raw-event stream derived from token docs: the deterministic chunker
+    * used by fixtures/benches (production would readStream the Iceberg
+    * sequence table directly in this shape).
+    */
+  def toStreamEvents(doc: TokenDoc,
+      baseEpochMs: Long = 1704067200000L): Vector[StreamEvent] = {
+    val (provider, home, groups) = TokenCodec.eventGroups(doc.tokens)
+    groups.zipWithIndex.map { case (g, i) =>
+      val gameSec: Long =
+        if (provider == TokenCodec.ProviderOpta) {
+          val w = TokenCodec.decodeOptaGroup(g)
+          (w.period_id - 1).toLong * 3600L + 60L * w.minute + w.second
+        } else {
+          val w = TokenCodec.decodeInstatGroup(g)
+          if (w.half == 2) w.second + 2700L else w.second.toLong
+        }
+      StreamEvent(doc.doc_id, doc.source, provider, home, i,
+        new Timestamp(baseEpochMs + gameSec * 1000L), g, None)
+    }
+  }
+
+  // ------------------------------------------------------- state function
+
+  /** Convert+value the watermark-safe subset (events with ts < wm, in seq
+    * order — ties in the converter's game-time sort resolve by doc order,
+    * which the seq-sorted subset preserves) and return the actions after
+    * `already` that are final: src position <= |safe| - 2, because every
+    * future event has ts >= wm and therefore sorts after ALL safe events.
+    * `finalFlush` (session close) emits everything.
+    */
+  private def optaValued(key: String, buf: GameBuf, safe: Seq[BufEvent],
+      already: Int, finalFlush: Boolean): (Vector[ValuedAction], Int) = {
+    val gameId = key.toInt
+    val ordered = safe.sortBy(_.seq)
+    val raws = ordered.map { b =>
+      val r = TokenCodec.toOptaRaw(gameId, buf.home,
+        TokenCodec.decodeOptaGroup(b.group))
+      b.pass_type match {
+        case Some("key") => r.copy(keypass = true)
+        case Some("assisst") => r.copy(assist = true)
+        case _ => r
+      }
+    }
+    val withSrc = OptaGameConverter.convertWithSrc(raws)
+    // src positions live in the sorted PERIOD-FILTERED event space (P1)
+    val inPlay = raws.count(r => r.period_id == 1 || r.period_id == 2)
+    val stableCount =
+      if (finalFlush) withSrc.size
+      else withSrc.takeWhile(_._2 <= inPlay - 2).size
+    val valuedAll = ValuationCore.value(withSrc.map(_._1))
+    (valuedAll.slice(already, stableCount), stableCount)
+  }
+
+  private def instatValued(key: String, buf: GameBuf): Vector[ValuedAction] = {
+    val gameId = key.toInt
+    val ordered = buf.events.sortBy(_.seq)
+    val raws = ordered.map(b =>
+      TokenCodec.toInstatRaw(TokenCodec.decodeInstatGroup(b.group)))
+    ValuationCore.value(InstatGameConverter.convert(gameId, buf.home, raws))
+  }
+
+  def stateFn(sessionGapMs: Long, emissionLagMs: Long,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator])(
+      key: String, rows: Iterator[StreamEvent],
+      state: GroupState[GameBuf]): Iterator[ValuedAction] = {
+    if (state.hasTimedOut) {
+      // session close: flush the remainder, drop the state
+      val buf = state.get
+      val out =
+        if (buf.provider == TokenCodec.ProviderOpta)
+          optaValued(key, buf, buf.events, buf.emittedActions,
+            finalFlush = true)._1
+        else instatValued(key, buf)
+      state.remove()
+      return out.iterator
+    }
+
+    val wm = state.getCurrentWatermarkMs()
+    val buf0 = state.getOption.getOrElse(
+      GameBuf(-1, -1, Vector.empty, 0, Long.MinValue))
+    val seen = scala.collection.mutable.Set.empty[Int]
+    buf0.events.foreach(e => seen += e.seq)
+    var provider = buf0.provider
+    var home = buf0.home
+    val fresh = Vector.newBuilder[BufEvent]
+    var dropped = 0L
+    rows.foreach { e =>
+      if (e.event_time.getTime < buf0.frontierTs) dropped += 1 // truly late
+      else if (seen.add(e.seq)) { // duplicate delivery: idempotent
+        provider = e.provider
+        home = e.home_team_id
+        fresh += BufEvent(e.seq, e.event_time.getTime, e.group, e.pass_type)
+      }
+    }
+    lateCounter.foreach(_.add(dropped))
+    val events = buf0.events ++ fresh.result()
+    if (events.isEmpty) return Iterator.empty // all late, no prior state
+    val frontier = math.max(buf0.frontierTs, wm - emissionLagMs)
+    val buf = buf0.copy(provider = provider, home = home, events = events,
+      frontierTs = frontier)
+
+    val maxTs = events.iterator.map(_.ts).max
+    // clamp: after a watermark jump the natural close time may already be
+    // in the past — close at the next watermark advance instead
+    state.setTimeoutTimestamp(math.max(maxTs + sessionGapMs, wm + 1))
+
+    if (buf.provider == TokenCodec.ProviderOpta) {
+      // safe set: events strictly below the emission frontier
+      val safe = events.filter(_.ts < frontier)
+      val (out, emitted) =
+        if (safe.size >= 2)
+          optaValued(key, buf, safe, buf.emittedActions, finalFlush = false)
+        else (Vector.empty[ValuedAction], buf.emittedActions)
+      state.update(buf.copy(emittedActions = emitted))
+      out.iterator
+    } else {
+      state.update(buf)
+      Iterator.empty
+    }
+  }
+
+  // ------------------------------------------------------- query builders
+
+  /** events (+ optional keypass stream-stream LEFT join under watermark
+    * bounds, J1) -> watermark -> flatMapGroupsWithState -> valued actions.
+    */
+  def valuedActions(spark: SparkSession, events: Dataset[StreamEvent],
+      keypass: Option[DataFrame] = None,
+      watermarkDelay: String = "10 seconds",
+      sessionGap: String = "10 minutes",
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[ValuedAction] = {
+    import spark.implicits._
+    val withKp: Dataset[StreamEvent] = keypass match {
+      case Some(kp) =>
+        // stream-stream left outer join under watermark bounds: the
+        // outcome stream row must lie within +-30s of the action event
+        val ev = events.withWatermark("event_time", watermarkDelay).as("e")
+        val kpw = kp
+          .select(col("doc_id").as("kp_doc"), col("event_id").as("kp_event"),
+            col("pass_type").as("kp_type"),
+            col("event_time").as("kp_time"))
+          .withWatermark("kp_time", watermarkDelay).as("k")
+        ev.join(kpw,
+            expr("""e.doc_id = k.kp_doc AND
+                    element_at(e.group, 1) = k.kp_event AND
+                    k.kp_time >= e.event_time - INTERVAL 30 SECONDS AND
+                    k.kp_time <= e.event_time + INTERVAL 30 SECONDS"""),
+            "leftOuter")
+          .select(col("e.doc_id"), col("e.source"), col("e.provider"),
+            col("e.home_team_id"), col("e.seq"), col("e.event_time"),
+            col("e.group"), col("k.kp_type").as("pass_type"))
+          .as[StreamEvent] // left-side watermark propagates through the join
+      case None => events.withWatermark("event_time", watermarkDelay)
+    }
+    // emission must lag the global watermark by the join's release bound:
+    // an unmatched left row is released only once the watermark passes its
+    // +30s join window, so rows legitimately arrive up to 30s "late"
+    val emissionLagMs = if (keypass.isDefined) 31000L else 0L
+    withKp
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        stateFn(intervalMs(sessionGap), emissionLagMs, lateCounter))
+  }
+
+  private def intervalMs(s: String): Long = {
+    val Array(n, unit) = s.trim.split("\\s+")
+    val base = n.toLong
+    unit.toLowerCase match {
+      case u if u.startsWith("milli") => base
+      case u if u.startsWith("second") => base * 1000L
+      case u if u.startsWith("minute") => base * 60000L
+      case u if u.startsWith("hour") => base * 3600000L
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+
+  /** Possession sessionization (W10): built-in session windows — actions
+    * of the same (doc, team) within a 10 s gap form one possession.
+    */
+  def possessions(spark: SparkSession, events: Dataset[StreamEvent],
+      watermarkDelay: String = "10 seconds",
+      gap: String = "10 seconds"): DataFrame = {
+    import spark.implicits._
+    val teamCol = when(col("provider") === TokenCodec.ProviderOpta,
+      element_at(col("group"), 7)) // OptaWire.team_id
+      .otherwise(element_at(col("group"), 4)) // InstatWire.team_id
+    events.toDF()
+      .withColumn("team_id", teamCol)
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("doc_id"), col("team_id"),
+        session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("doc_id"), col("team_id"),
+        col("session_window.start").as("possession_start"),
+        col("session_window.end").as("possession_end"), col("n_events"))
+  }
+}

@@ -1,0 +1,201 @@
+package graft
+
+import graft.convert.SpadlPipeline
+import graft.fixtures.FixtureGen
+import graft.model._
+import graft.streaming.{ExactlyOnceSink, SpadlStream, StreamJob}
+import graft.vaep.ValuationCore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming semantics (SURVEY.md §5.3-5.4): batch/streaming equivalence
+  * under arbitrary micro-batch slicing, watermark late-drop, duplicate
+  * delivery, exactly-once sink idempotency, checkpoint resume.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Base = 1704067200000L
+  private def sentinel(i: Int, plusDays: Int): SpadlStream.StreamEvent =
+    SpadlStream.StreamEvent(s"99$i", "opta", 0, 10, i,
+      new Timestamp(Base + plusDays * 86400000L), Array(1, 1, 3, 0, 0, 1, 10,
+        1, 5000, 5000, 0), None) // period 3: filtered by P1, emits nothing
+
+  /** Batch truth: convert+value via the pure cores. */
+  private def batchTruth(games: Seq[FixtureGen.Game]): Seq[ValuedAction] =
+    games.flatMap { g =>
+      val kps = g.keypasses.map(k =>
+        SpadlPipeline.Kp(k.event_id, k.pass_type))
+      ValuationCore.value(
+        SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens, kps))
+    }
+
+  private def key(v: ValuedAction) = (v.game_id, v.action_idx)
+
+  private def runStream(games: Seq[FixtureGen.Game], slices: Int,
+      withKeypass: Boolean = false): Seq[ValuedAction] = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = games.flatMap(g => SpadlStream.toStreamEvents(g.doc, Base))
+      .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    val mem = MemoryStream[SpadlStream.StreamEvent]
+    val kpMem = MemoryStream[(String, Int, String, Timestamp)]
+    val kpDf = kpMem.toDS().toDF("doc_id", "event_id", "pass_type",
+      "event_time")
+    val out = SpadlStream.valuedActions(spark, mem.toDS(),
+      if (withKeypass) Some(kpDf) else None,
+      watermarkDelay = "10 seconds", sessionGap = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      if (withKeypass) {
+        // keypass rows go in first so the left join matches within bounds
+        games.flatMap(_.keypasses).foreach { k =>
+          kpMem.addData((k.doc_id, k.event_id, k.pass_type,
+            new Timestamp(Base + (k.event_time_sec * 1000).toLong)))
+        }
+      }
+      val chunkSize = math.max(1, all.size / slices)
+      all.grouped(chunkSize).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      // far-future sentinels: 1st advances max event time, 2nd's batch sees
+      // the advanced watermark (and flushes any outer-join holds), 3rd's
+      // batch fires the session timeouts for keys whose data arrived in 2nd
+      // the global watermark is the MIN across both inputs: sentinels must
+      // advance the keypass stream too when it participates
+      def kpSentinel(d: Int): (String, Int, String, Timestamp) =
+        ("998", -1, "none", new Timestamp(Base + d * 86400000L))
+      for (d <- 30 to 32) {
+        mem.addData(sentinel(d - 29, d))
+        if (withKeypass) kpMem.addData(kpSentinel(d))
+        q.processAllAvailable()
+      }
+      spark.table("stream_out").as[ValuedAction].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("streaming == batch for any micro-batch slicing (opta + instat)") {
+    val games = FixtureGen.corpus(6, 80)
+    val truth = batchTruth(games.map(g => g.copy(keypasses = Nil)))
+      .sortBy(key)
+    for (slices <- Seq(1, 7)) {
+      val got = runStream(games, slices).sortBy(key)
+      assert(got.size == truth.size, s"slices=$slices row count")
+      got.zip(truth).foreach { case (a, b) =>
+        assert(a == b, s"slices=$slices mismatch at ${key(a)}")
+      }
+    }
+  }
+
+  test("stream-stream keypass join sets assist/keypass flags like batch") {
+    val games = FixtureGen.corpus(4, 100).filter(_.doc.source == "opta")
+    assert(games.exists(_.keypasses.nonEmpty), "fixture has keypasses")
+    val truth = batchTruth(games).sortBy(key)
+    val got = runStream(games, 5, withKeypass = true).sortBy(key)
+    assert(got.size == truth.size)
+    got.zip(truth).foreach { case (a, b) => assert(a == b, s"${key(a)}") }
+    assert(got.exists(_.keypass) || got.exists(_.assist))
+  }
+
+  test("duplicate deliveries are idempotent; late rows are dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val games = FixtureGen.corpus(2, 60).filter(_.doc.source == "opta")
+    val all = games.flatMap(g => SpadlStream.toStreamEvents(g.doc, Base))
+      .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    val truth = batchTruth(games.map(_.copy(keypasses = Nil))).sortBy(key)
+    val mem = MemoryStream[SpadlStream.StreamEvent]
+    val out = SpadlStream.valuedActions(spark, mem.toDS(), None,
+      "10 seconds", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dup").start()
+    try {
+      val (h, t) = all.splitAt(all.size / 2)
+      mem.addData(h); q.processAllAvailable()
+      mem.addData(h.take(10)) // duplicate re-delivery of old seqs
+      q.processAllAvailable()
+      mem.addData(t); q.processAllAvailable()
+      // a LATE fabricated event: far below watermark, would corrupt game 0
+      // if accepted (same doc, unseen seq, early timestamp)
+      val lateEv = all.head.copy(seq = 9999,
+        event_time = new Timestamp(Base + 1000L))
+      mem.addData(sentinel(1, 30)); q.processAllAvailable()
+      mem.addData(lateEv); q.processAllAvailable()
+      mem.addData(sentinel(2, 31)); q.processAllAvailable()
+      val got = spark.table("stream_dup").as[ValuedAction]
+        .collect().toSeq.sortBy(key)
+      assert(got.size == truth.size)
+      got.zip(truth).foreach { case (a, b) => assert(a == b) }
+    } finally q.stop()
+  }
+
+  test("exactly-once sink: re-delivered batch is a no-op; reader sees one copy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val sink = new ExactlyOnceSink(dir)
+    val games = FixtureGen.corpus(2, 60)
+    val rows = batchTruth(games.map(_.copy(keypasses = Nil)))
+    val df = spark.createDataset(rows).toDF()
+    sink.write(df, 0L)
+    sink.write(df, 0L) // re-delivery
+    val read = sink.read(spark)
+    assert(read.count() == rows.size)
+    assert(read.select("game_id", "action_idx").distinct().count() ==
+      rows.size)
+    // lineage columns present
+    assert(read.columns.contains("_lineage_partition"))
+    assert(read.columns.contains("_batch_id"))
+  }
+
+  test("checkpoint resume: kill between micro-batches, restart, exactly-once output") {
+    import spark.implicits._
+    val games = FixtureGen.corpus(3, 60)
+    val truth = batchTruth(games.map(_.copy(keypasses = Nil))).sortBy(key)
+    val all = games.flatMap(g => SpadlStream.toStreamEvents(g.doc, Base))
+      .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_resume")
+    val srcDir = s"$tmp/src"
+    val outDir = s"$tmp/out"
+    val ckDir = s"$tmp/ck"
+    val (h, t) = all.splitAt(all.size / 2)
+    spark.createDataset(h).repartition(1).write.parquet(s"$srcDir/p1")
+    def stream = spark.readStream
+      .schema(spark.createDataset(all).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+      .as[SpadlStream.StreamEvent]
+    // phase 1: process first half, then "crash" (stop)
+    val q1 = StreamJob.start(spark, stream, outDir, ckDir,
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    q1.stop()
+    // phase 2: second half + sentinels land, restart from checkpoint
+    spark.createDataset(t).repartition(1).write.parquet(s"$srcDir/p2")
+    spark.createDataset(Seq(sentinel(1, 30))).write.parquet(s"$srcDir/p3")
+    spark.createDataset(Seq(sentinel(2, 31))).write.parquet(s"$srcDir/p4")
+    spark.createDataset(Seq(sentinel(3, 32))).write.parquet(s"$srcDir/p5")
+    val q2 = StreamJob.start(spark, stream, outDir, ckDir,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(180000)
+    q2.stop()
+    val sink = new ExactlyOnceSink(outDir)
+    val got = sink.read(spark)
+      .drop("_lineage_partition", "_batch_id")
+      .as[ValuedAction].collect().toSeq.sortBy(key)
+    assert(got.size == truth.size,
+      s"resume row count got=${got.size} want=${truth.size}")
+    got.zip(truth).foreach { case (a, b) => assert(a == b) }
+  }
+}
