@@ -39,7 +39,11 @@ object Valuation {
   final val CWFail = 0.4
   final val CWGsDiff = -0.05
 
-  @inline def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+  // StrictMath, not math.exp: Spark's EXP expression evaluates via
+  // StrictMath for cross-platform determinism, and Math.exp's JIT
+  // intrinsic can differ by 1-2 ULP — enough to break the bitwise
+  // batch==streaming output-parity requirement.
+  @inline def sigmoid(z: Double): Double = 1.0 / (1.0 + StrictMath.exp(-z))
 
   /** P(score within 10 actions) — scalar form (streaming/core path). */
   def scoreP(endDist: Double, isShot: Boolean, isSuccess: Boolean,
