@@ -45,6 +45,27 @@ object SpadlQueries {
         .groupBy(col("player_id"))
         .agg(sum(col("vaep_value")).as("index"))
         .orderBy(col("index").desc, col("player_id"))
-        .limit(25), None)
+        .limit(25), None),
+    QueryDef("spadl_atomic",
+      (s, _) => graft.convert.AtomicConvert.toAtomic(actions(s))
+        .orderBy(col("game_id"), col("atomic_idx")), None),
+    // W10 possession sessionization via the built-in session_window (10 s
+    // gap per doc+team) — batch form of the streaming possessions query
+    QueryDef("spadl_possessions",
+      (s, _) => {
+        val a = actions(s)
+        val ts = to_timestamp(lit("2024-01-01 00:00:00"))
+          .cast("long") + ((col("period_id") - 1) * 3600 +
+            col("time_seconds")).cast("long")
+        a.withColumn("ts", ts.cast("timestamp"))
+          .groupBy(col("game_id"), col("team_id"),
+            session_window(col("ts"), "10 seconds"))
+          .agg(count(lit(1)).as("n_actions"),
+            sum(col("time_seconds")).as("sum_t"))
+          .select(col("game_id"), col("team_id"),
+            col("session_window.start").as("possession_start"),
+            col("n_actions"), col("sum_t"))
+          .orderBy(col("game_id"), col("team_id"), col("possession_start"))
+      }, None)
   )
 }

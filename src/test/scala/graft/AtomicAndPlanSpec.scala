@@ -1,0 +1,120 @@
+package graft
+
+import graft.convert.{AtomicConvert, SpadlPipeline}
+import graft.fixtures.FixtureGen
+import graft.model.SpadlAction
+import graft.streaming.StreamJob
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Atomic conversion semantics (§2.9), partitioning/salting invariance,
+  * and physical-plan assertions (broadcasts, pushdown, window fusion).
+  */
+class AtomicAndPlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def act(idx: Int, team: Int = 10, player: Int = -1,
+      tn: String = "pass", tid: Int = 0, rn: String = "success",
+      sx: Double = 10, sy: Double = 10, ex: Double = 30,
+      ey: Double = 20): SpadlAction =
+    SpadlAction(1, idx.toDouble, idx, 1, 0, idx, idx.toDouble,
+      if (player > 0) player else team * 100 + idx, team, 10,
+      if (team == 10) "home" else "away", sx, sy, ex, ey, tid, tn, 1, rn,
+      0, "foot", assist = false, keypass = false)
+
+  private def atomic(as: Seq[SpadlAction]): Seq[Row] = {
+    import spark.implicits._
+    AtomicConvert.toAtomic(spark.createDataset(as).toDF())
+      .orderBy("game_id", "atomic_idx").collect().toSeq
+  }
+
+  test("atomic: positions become deltas; base rows keep types") {
+    val rows = atomic(Seq(act(1, rn = "fail", ex = 30, ey = 20),
+      act(2, team = 20, tn = "tackle", tid = 0, rn = "success")))
+    val base = rows.head
+    assert(base.getAs[String]("type_name") == "pass")
+    assert(base.getAs[Double]("x") == 10 && base.getAs[Double]("dx") == 20)
+    assert(base.getAs[Double]("dy") == 10)
+    assert(!rows.head.schema.fieldNames.contains("result_name"))
+  }
+
+  test("atomic: successful pass to same team -> receival by next player") {
+    val rows = atomic(Seq(act(1, player = 7), act(2, player = 8)))
+    val rec = rows.find(_.getAs[String]("type_name") == "receival").get
+    assert(rec.getAs[Int]("player_id") == 8)
+    assert(rec.getAs[Double]("x") == 30 && rec.getAs[Double]("dx") == 0)
+    assert(rec.getAs[Int]("atomic_idx") == 2) // right after its pass
+  }
+
+  test("atomic: failed pass to opponent -> interception; to nobody -> out") {
+    val inter = atomic(Seq(act(1, rn = "fail"),
+      act(2, team = 20, player = 99, tn = "interception", tid = 10)))
+    val i = inter.find(_.getAs[String]("type_name") == "interception")
+    // the intercepting atomic (from the failed pass) is attributed to 99
+    assert(i.exists(r => r.getAs[Int]("player_id") == 99 &&
+      r.getAs[Int]("team_id") == 20 && r.getAs[Int]("atomic_idx") == 2))
+    val out = atomic(Seq(act(1, rn = "fail"), act(2, player = 5)))
+    assert(out.exists(_.getAs[String]("type_name") == "out"))
+  }
+
+  test("atomic: shots reify goal/owngoal; cards reify card atomics") {
+    val rows = atomic(Seq(
+      act(1, tn = "shot", tid = 11, rn = "success"),
+      act(2, tn = "shot", tid = 11, rn = "owngoal"),
+      act(3, tn = "tackle", tid = 0, rn = "yellow_card")))
+    val names = rows.map(_.getAs[String]("type_name"))
+    assert(names.contains("goal") && names.contains("owngoal") &&
+      names.contains("yellow_card"))
+    val goal = rows.find(_.getAs[String]("type_name") == "goal").get
+    assert(goal.getAs[Int]("type_id") == AtomicConvert.atomicIdByName("goal"))
+  }
+
+  test("batch conversion output is invariant to partitioning and salting") {
+    import spark.implicits._
+    val games = FixtureGen.corpus(6, 100)
+    val docs = spark.createDataset(games.map(_.doc))
+    def run(ds: org.apache.spark.sql.Dataset[graft.model.TokenDoc]) =
+      SpadlPipeline.convert(spark, ds).collect().toSeq
+        .sortBy(a => (a.game_id, a.action_idx))
+    val base = run(docs.repartition(1))
+    val wide = run(docs.repartition(13))
+    val salted = run(docs.repartition(8,
+      pmod(hash(col("doc_id"), col("n_tok")), lit(8))))
+    assert(base == wide)
+    assert(base == salted)
+  }
+
+  test("plan: dimension joins broadcast; filters push to parquet scan") {
+    val q3 = SparkEntry.queries("q03_join_segment")(spark,
+      "/root/testdata/sf0.001")
+    val p3 = q3.queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"), "q03 should broadcast customer")
+    val q2 = SparkEntry.queries("q02_filter_project")(spark,
+      "/root/testdata/sf0.001")
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(p2.contains("PushedFilters") && p2.contains("l_shipdate"),
+      "q02 filters must reach the parquet scan")
+    assert(p2.contains("ReadSchema") &&
+      !p2.contains("l_returnflag"), "q02 must prune unused columns")
+  }
+
+  test("plan: valuation = 3 window passes over ONE exchange+sort") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(act(1), act(2))).toDF()
+    val plan = graft.vaep.Valuation.value(df).queryExecution
+      .executedPlan.toString
+    // 3 is minimal: the running-goalscore sums nest over the first(team)
+    // window result (one extra pass), plus the lag stage — but all share a
+    // single hash-partition-by-game exchange, which is what scales.
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 3, s"expected 3 Window nodes, got $windows")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+}
