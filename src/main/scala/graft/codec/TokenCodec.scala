@@ -177,7 +177,8 @@ object TokenCodec {
     * consumes (mirrors /root/reference/R/opta_events.R:43-119; keypass/assist
     * default false — they come from the keypass side stream, J1).
     */
-  def toOptaRaw(gameId: Int, homeTeamId: Int, w: OptaWire): OptaRawEvent = {
+  def toOptaRaw(gameId: Int, homeTeamId: Int, w: OptaWire,
+      seq: Int = 0): OptaRawEvent = {
     val qmapInt: Map[String, Int] = w.quals.map { case (k, v) => k.toString -> v }.toMap
     val sx = w.x100 / 100.0
     val sy = w.y100 / 100.0
@@ -193,7 +194,8 @@ object TokenCodec {
       assist = false, keypass = false,
       side = if (w.team_id == homeTeamId) "home" else "away",
       home_team_id = homeTeamId,
-      qualifiers = qmapInt.map { case (k, v) => k -> (v / 100.0).toString })
+      qualifiers = qmapInt.map { case (k, v) => k -> (v / 100.0).toString },
+      seq = seq)
   }
 
   def toInstatRaw(w: InstatWire): InstatRawEvent = {

@@ -71,4 +71,41 @@ object SpadlPipeline {
     }
     withKp.flatMap(d => convertDoc(d.doc_id, d.tokens, d.kps.getOrElse(Nil)))
   }
+
+  /** Decode Opta docs into a FLAT raw-event Dataset (one row per event,
+    * with `seq` for stable ordering) — the input of the declarative
+    * Catalyst conversion path (OptaConvertBatch).
+    */
+  def decodeOptaEvents(spark: SparkSession, docs: Dataset[TokenDoc],
+      keypass: Option[Dataset[KeypassRow]] = None): Dataset[OptaRawEvent] = {
+    import spark.implicits._
+    val withKp: Dataset[DocWithKp] = keypass match {
+      case Some(kp) =>
+        val kpAgg = kp.groupBy($"doc_id")
+          .agg(collect_list(struct($"event_id", $"pass_type")).as("kps"))
+        docs.join(kpAgg, Seq("doc_id"), "left")
+          .select($"doc_id", $"tokens", $"source", $"kps").as[DocWithKp]
+      case None =>
+        docs.select($"doc_id", $"tokens", $"source",
+          lit(null).cast("array<struct<event_id:int,pass_type:string>>").as("kps"))
+          .as[DocWithKp]
+    }
+    withKp.filter(_.source == "opta").flatMap { d =>
+      val gameId = d.doc_id.toInt
+      val byEvent: Map[Int, String] = d.kps.getOrElse(Nil)
+        .groupBy(_.event_id).map { case (k, v) => k -> v.head.pass_type }
+      TokenCodec.decode(d.tokens) match {
+        case TokenCodec.OptaGame(home, wires) =>
+          wires.zipWithIndex.map { case (w, i) =>
+            val r = TokenCodec.toOptaRaw(gameId, home, w, i)
+            byEvent.get(w.event_id) match {
+              case Some("key") => r.copy(keypass = true)
+              case Some("assisst") => r.copy(assist = true)
+              case _ => r
+            }
+          }
+        case _ => Vector.empty
+      }
+    }
+  }
 }

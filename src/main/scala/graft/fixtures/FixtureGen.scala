@@ -95,6 +95,10 @@ object FixtureGen {
     add(8, t(), outcome = false, Vector.empty); tick()
     add(12, t(), outcome = true, Vector.empty); tick() // clearance
     add(1, t(), outcome = true, passQuals(6000, 6000)); tick()
+    add(11, t(), outcome = true, Vector.empty); tick() // keeper claim
+    add(41, t(), outcome = true, Vector.empty); tick() // keeper punch
+    add(74, t(), outcome = false, Vector.empty); tick() // blocked pass
+    add(52, t(), outcome = true, Vector.empty); tick() // keeper pick-up
     // ball touch / foul with both outcomes (outcome=true => non_action)
     add(61, t(), outcome = false, Vector.empty); tick()
     add(61, t(), outcome = true, Vector.empty); tick()

@@ -55,7 +55,8 @@ final case class OptaRawEvent(
     keypass: Boolean,
     side: String,
     home_team_id: Int,
-    qualifiers: Map[String, String]
+    qualifiers: Map[String, String],
+    seq: Int = 0 // position in the document (stable tie-break for sorts)
 )
 
 /** Decoded InStat raw event (pre-conversion). Coordinates are metres on the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.convert.SpadlPipeline
+import SpadlPipeline.{Kp}
 import graft.features.Features
 import graft.fixtures.FixtureGen
 import graft.vaep.Valuation
@@ -46,6 +47,19 @@ object SpadlQueries {
         .agg(sum(col("vaep_value")).as("index"))
         .orderBy(col("index").desc, col("player_id"))
         .limit(25), None),
+    // the same conversion as spadl_actions, but via the PURE-Catalyst
+    // declarative path (OptaConvertBatch) — property-tested equal to the
+    // typed core; exposed so the driver exercises both plans
+    QueryDef("spadl_actions_catalyst",
+      (s, _) => {
+        import s.implicits._
+        val (docs, kp) = corpus(s)
+        graft.convert.OptaConvertBatch.toSpadl(
+          SpadlPipeline.decodeOptaEvents(s,
+            docs.as[graft.model.TokenDoc],
+            Some(kp.as[graft.model.KeypassRow])).toDF())
+          .orderBy(col("game_id"), col("action_idx"))
+      }, None),
     QueryDef("spadl_atomic",
       (s, _) => graft.convert.AtomicConvert.toAtomic(actions(s))
         .orderBy(col("game_id"), col("atomic_idx")), None),

@@ -1,0 +1,59 @@
+package graft
+
+import graft.convert.{OptaConvertBatch, SpadlPipeline}
+import graft.fixtures.FixtureGen
+import graft.model.{SpadlAction, TokenDoc}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The declarative Catalyst conversion must equal the per-game core
+  * EXACTLY (every field, bitwise doubles) on the fixture corpus — the
+  * two-implementations-one-semantics guard (SURVEY.md §5.3).
+  */
+class BatchEquivalenceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("Catalyst Opta conversion == per-game core on the fixture corpus") {
+    import spark.implicits._
+    val games = FixtureGen.corpus(10, 150).filter(_.doc.source == "opta")
+    val docs = spark.createDataset(games.map(_.doc))
+    val kp = spark.createDataset(games.flatMap(_.keypasses))
+
+    val truth: Seq[SpadlAction] = games.flatMap { g =>
+      SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens,
+        g.keypasses.map(k => SpadlPipeline.Kp(k.event_id, k.pass_type)))
+    }.sortBy(a => (a.game_id, a.action_idx))
+
+    val raw = SpadlPipeline.decodeOptaEvents(spark, docs, Some(kp))
+    val got = OptaConvertBatch.toSpadl(raw.toDF())
+      .as[SpadlAction].collect().toSeq
+      .sortBy(a => (a.game_id, a.action_idx))
+
+    assert(got.size == truth.size,
+      s"row count got=${got.size} want=${truth.size}")
+    got.zip(truth).foreach { case (a, b) =>
+      assert(a == b, s"mismatch at (${b.game_id}, ${b.action_idx})")
+    }
+  }
+
+  test("Catalyst conversion plan: single exchange by game, codegen'd") {
+    import spark.implicits._
+    val games = FixtureGen.corpus(4, 60).filter(_.doc.source == "opta")
+    val docs = spark.createDataset(games.map(_.doc))
+    val df = OptaConvertBatch.toSpadl(
+      SpadlPipeline.decodeOptaEvents(spark, docs).toDF())
+    df.collect() // action on the SAME QueryExecution finalizes the AQE plan
+    val planFull = df.queryExecution.executedPlan.toString
+    val plan = planFull.split("== Initial Plan ==")(0) // AQE echoes nodes
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$plan")
+    // AQE final plans mark codegen'd stages with "*(n)" prefixes
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen stage marker in plan:\n$plan")
+  }
+}
