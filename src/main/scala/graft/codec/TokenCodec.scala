@@ -194,7 +194,10 @@ object TokenCodec {
       assist = false, keypass = false,
       side = if (w.team_id == homeTeamId) "home" else "away",
       home_team_id = homeTeamId,
-      qualifiers = qmapInt.map { case (k, v) => k -> (v / 100.0).toString },
+      // values keep the raw x100 int as string (cheap; conversion only
+      // ever consumes KEYS — end coords are resolved above)
+      qualifiers = qmapInt.map { case (k, v) =>
+        k -> java.lang.Integer.toString(v) },
       seq = seq)
   }
 

@@ -150,16 +150,19 @@ object Dedup {
     */
   def simhashCandidates(s: SparkSession, docs: DataFrame,
       maxHamming: Int = 6): DataFrame = {
-    val words = split(col("text"), " ")
-    val hashes = transform(array_distinct(words), wd => xxhash64(wd))
+    // materialize the feature hashes ONCE — referencing the expression from
+    // all 64 bit columns would recompute split+hash 64x per row
+    val hashed = docs.select(col("doc_id"),
+      transform(array_distinct(split(col("text"), " ")),
+        wd => xxhash64(wd)).as("hashes"))
     // simhash: for each bit, majority vote of feature-hash bits
     val bitCols = (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0),
+      val votes = aggregate(col("hashes"), lit(0),
         (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1)
           .otherwise(-1))
       when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }
-    val sim = docs.select(col("doc_id"),
+    val sim = hashed.select(col("doc_id"),
       bitCols.reduce(_ bitwiseOR _).as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
