@@ -1,0 +1,127 @@
+package graft.tools
+
+import graft.fixtures.FixtureGen
+import graft.streaming.{ExactlyOnceSink, SpadlStream, StreamJob}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Streaming-job throughput at two parallelism levels: the full CEP
+  * pipeline (file-source event rows -> watermark -> stream state ->
+  * exactly-once sink) end-to-end, interleaved lo/hi, min over reps.
+  * Prints one JSON line. Usage:
+  *   sbt "runMain graft.tools.StreamBench [games] [reps]"
+  */
+object StreamBench {
+  private val Base = 1704067200000L
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-streambench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def sentinel(i: Int, d: Int) = SpadlStream.StreamEvent(s"99$i",
+    "opta", 0, 10, i, new Timestamp(Base + d * 86400000L),
+    Array(1, 1, 3, 0, 0, 1, 10, 1, 5000, 5000, 0), None)
+
+  /** one full run at `cores`; returns (sinkRows, wallSeconds,
+    * sustainedEventRows, sustainedSeconds) where "sustained" sums
+    * numInputRows/durations over DATA batches only (>= 1000 input rows) —
+    * the steady-state micro-batch throughput, excluding the tiny
+    * sentinel/flush batches whose fixed cost a production stream amortizes
+    * over million-row batches.
+    */
+  private def run(cores: Int, srcDir: String, root: String,
+      tag: String): (Long, Double, Long, Double) = {
+    val spark = session(cores)
+    val outDir = s"$root/out_$tag"
+    val ck = s"$root/ck_$tag"
+    import spark.implicits._
+    var susRows = 0L
+    var susMs = 0L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        if (e.progress.numInputRows >= 1000) {
+          susRows += e.progress.numInputRows
+          susMs += e.progress.batchDuration
+        }
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          println(s"[sbench-progress] ${e.progress.json}")
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val probe = Seq(sentinel(0, 0))
+    val stream = spark.readStream
+      .schema(spark.createDataset(probe).schema)
+      .option("maxFilesPerTrigger", sys.env.getOrElse("SPARK_GRAFT_STREAM_MFPT", "4"))
+      .parquet(s"$srcDir/*")
+      .as[SpadlStream.StreamEvent]
+    val t0 = System.nanoTime()
+    val q = StreamJob.start(spark, stream, outDir, ck,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(580000)
+    q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rows = new ExactlyOnceSink(outDir).read(spark).count()
+    spark.stop()
+    (rows, sec, susRows, susMs / 1000.0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val games = if (args.length > 0) args(0).toInt else 1024
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val perGame = if (args.length > 2) args(2).toInt else 400
+    val root = java.nio.file.Files.createTempDirectory("graft_sbench").toString
+    val srcDir = s"$root/src"
+
+    val prep = session(8)
+    import prep.implicits._
+    val all = (0 until games)
+      .flatMap(i => SpadlStream.toStreamEvents(FixtureGen.game(i, perGame).doc, Base))
+      .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    val nEvents = all.size
+    // time-ordered files so each trigger advances the watermark
+    val nFiles = 16
+    val chunk = math.max(1, nEvents / nFiles)
+    // ONE part-file per chunk: maxFilesPerTrigger counts part-files, and
+    // many small batches make the bench measure fixed trigger cost only
+    all.grouped(chunk).zipWithIndex.foreach { case (c, i) =>
+      prep.createDataset(c).coalesce(1)
+        .write.parquet(f"$srcDir/p$i%03d")
+    }
+    (1 to 3).foreach(i => prep.createDataset(Seq(sentinel(i, 29 + i)))
+      .write.parquet(s"$srcDir/zz_s$i"))
+    prep.stop()
+
+    var secLo = Double.MaxValue
+    var secHi = Double.MaxValue
+    var susLo = 0.0
+    var susHi = 0.0
+    var rows = 0L
+    (1 to reps).foreach { r =>
+      val (rl, sl, srl, ssl) = run(2, srcDir, root, s"lo$r")
+      val (rh, sh, srh, ssh) = run(8, srcDir, root, s"hi$r")
+      require(rl == rh, s"output mismatch lo=$rl hi=$rh")
+      rows = rh
+      secLo = math.min(secLo, sl)
+      secHi = math.min(secHi, sh)
+      susLo = math.max(susLo, srl / ssl)
+      susHi = math.max(susHi, srh / ssh)
+    }
+    val eff = (rows / secHi) / (4.0 * (rows / secLo))
+    val susEff = susHi / (4.0 * susLo)
+    println(f"""{"stream_bench":{"games":$games,"event_rows":$nEvents,"action_rows":$rows,"cores_lo":2,"cores_hi":8,"wall_rows_per_sec_lo":${rows / secLo}%.1f,"wall_rows_per_sec_hi":${rows / secHi}%.1f,"wall_efficiency":$eff%.3f,"sustained_events_per_sec_lo":$susLo%.1f,"sustained_events_per_sec_hi":$susHi%.1f,"sustained_efficiency":$susEff%.3f}}""")
+  }
+}
