@@ -374,6 +374,82 @@ object Relational {
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
         ORDER BY custkey""")),
 
+    // ------------------------------ rolling window aggregate (frame spec)
+    QueryDef("q36_rolling_avg",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-3, 0)
+        T.load(s, d, "events")
+          .withColumn("roll_cents",
+            round(sum(col("value") * 100).over(w), 0).cast("long"))
+          .withColumn("roll_n", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("roll_cents"),
+            col("roll_n"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+        CAST(round(sum(value * 100) OVER w, 0) AS BIGINT) AS roll_cents,
+        count(*) OVER w AS roll_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
+    // -------------------------------------------- dense_rank / ntile
+    QueryDef("q37_dense_rank",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        T.load(s, d, "customer")
+          .withColumn("rk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .filter(col("rk") <= 5)
+          .select(col("c_mktsegment"), col("rk"), col("quartile"),
+            col("c_custkey"))
+          .orderBy(col("c_mktsegment"), col("rk"), col("c_custkey"))
+      },
+      Some("""SELECT c_mktsegment, rk, quartile, c_custkey FROM (
+          SELECT c_mktsegment, c_custkey,
+            dense_rank() OVER w AS rk, ntile(4) OVER w AS quartile
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey))
+        WHERE rk <= 5 ORDER BY c_mktsegment, rk, c_custkey""")),
+
+    // --------------------------------------------- HAVING-style post-agg
+    QueryDef("q38_having",
+      (s, d) => T.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .filter(col("n_items") > 550)
+        .orderBy(col("l_suppkey")),
+      Some("""SELECT l_suppkey, count(*) AS n_items,
+        CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_suppkey HAVING count(*) > 550
+        ORDER BY l_suppkey""")),
+
+    // ----------------------- per-group argmax via self-join (subquery J)
+    QueryDef("q39_argmax_order",
+      (s, d) => {
+        val o = T.load(s, d, "orders")
+        val mx = o.groupBy(col("o_custkey").as("k"))
+          .agg(max(col("o_totalprice")).as("mx"))
+        o.join(mx, o("o_custkey") === mx("k") &&
+            o("o_totalprice") === mx("mx"))
+          .groupBy(col("o_custkey"))
+          .agg(min(col("o_orderkey")).as("best_order"),
+            round(max(col("o_totalprice")) * 100, 0).cast("long")
+              .as("best_cents"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH mx AS (SELECT o_custkey AS k, max(o_totalprice) AS m
+          FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, min(o_orderkey) AS best_order,
+          CAST(round(max(o_totalprice) * 100, 0) AS BIGINT) AS best_cents
+        FROM orders JOIN mx ON o_custkey = k AND o_totalprice = m
+        GROUP BY o_custkey ORDER BY o_custkey""")),
+
     // ---------------- A1+J7+W11: player-index analog (flagship report)
     QueryDef("q20_user_index",
       (s, d) => {

@@ -208,7 +208,8 @@ object SpadlStream {
       }
     }
     lateCounter.foreach(_.add(dropped))
-    val events = prior ++ fresh.result()
+    val freshV = fresh.result()
+    val events = prior ++ freshV
     if (events.isEmpty) return Iterator.empty // all late, no prior state
     val frontier = math.max(buf0.frontierTs, wm - emissionLagMs)
 
@@ -218,10 +219,14 @@ object SpadlStream {
     state.setTimeoutTimestamp(math.max(maxTs + sessionGapMs, wm + 1))
 
     if (provider == TokenCodec.ProviderOpta) {
-      // safe set: events strictly below the emission frontier
+      // safe set: events strictly below the emission frontier. Convert only
+      // when it can have grown (frontier advanced or new sub-frontier rows)
+      // — otherwise every heartbeat batch would re-convert the whole buffer.
       val safe = events.filter(_.ts < frontier)
+      val safeGrew = frontier > buf0.frontierTs ||
+        freshV.exists(_.ts < frontier)
       val (out, emitted) =
-        if (safe.size >= 2)
+        if (safe.size >= 2 && safeGrew)
           optaValued(key, home, safe, buf0.emittedActions, finalFlush = false)
         else (Vector.empty[ValuedAction], buf0.emittedActions)
       state.update(GameBuf.build(provider, home, emitted, frontier, events))

@@ -159,6 +159,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(read.columns.contains("_batch_id"))
   }
 
+  test("streaming session-window possessions == batch session_window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val games = FixtureGen.corpus(3, 80)
+    val all = games.flatMap(g => SpadlStream.toStreamEvents(g.doc, Base))
+      .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    val mem = MemoryStream[SpadlStream.StreamEvent]
+    val q = SpadlStream.possessions(spark, mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("poss_out").start()
+    try {
+      all.grouped(all.size / 5 + 1).foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+      }
+      (30 to 32).foreach { d =>
+        mem.addData(sentinel(d - 29, d)); q.processAllAvailable()
+      }
+      val got = spark.table("poss_out")
+        .filter(!col("doc_id").startsWith("99"))
+        .select("doc_id", "team_id", "possession_start", "n_events")
+        .collect().map(_.toSeq).toSet
+      // batch oracle: the same session_window aggregation, non-streaming
+      val teamCol = when(col("provider") === 0, element_at(col("group"), 7))
+        .otherwise(element_at(col("group"), 4))
+      val batch = spark.createDataset(all).toDF()
+        .withColumn("team_id", teamCol)
+        .groupBy(col("doc_id"), col("team_id"),
+          session_window(col("event_time"), "10 seconds"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("doc_id"), col("team_id"),
+          col("session_window.start").as("possession_start"), col("n_events"))
+        .collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
   test("checkpoint resume: kill between micro-batches, restart, exactly-once output") {
     import spark.implicits._
     val games = FixtureGen.corpus(3, 60)
