@@ -75,14 +75,20 @@ object OptaGameConverter {
   def convert(events: Seq[OptaRawEvent]): Vector[SpadlAction] =
     convertWithSrc(events).map(_._1)
 
-  /** Like [[convert]] but each action carries the 0-based position (in the
-    * sorted, period-filtered event order) of its source event — synthesized
-    * dribbles carry their NEXT action's position. Used by the streaming
-    * state function to bound the watermark-stable emission prefix: an
-    * action with src <= k is unaffected by any event at position > k+1
-    * (max lookahead: clearance end-fix W2 / dribble pairing W4 = 1 event).
+  /** Like [[convert]] but each action carries (src, needSrc): `src` is the
+    * 0-based position (in the sorted, period-filtered event order) of its
+    * source event — synthesized dribbles carry their NEXT action's
+    * position; `needSrc` is the EARLIEST event position the action's
+    * computation depends on — equal to src for originals, the pair's PREV
+    * action's position for dribbles (pairs can span runs of non-action
+    * events). Used by the streaming state function: an action with
+    * src <= k is unaffected by any event at position > k+1 (max lookahead:
+    * clearance end-fix W2 / dribble pairing W4 = 1 event), and a buffered
+    * suffix from min(needSrc of pending) regenerates every pending action.
+    * NOTE: src is NOT monotone along the output order — at timestamp ties
+    * a dribble sorts after later-src originals (stable rbind semantics).
     */
-  def convertWithSrc(events: Seq[OptaRawEvent]): Vector[(SpadlAction, Int)] = {
+  def convertWithSrc(events: Seq[OptaRawEvent]): Vector[(SpadlAction, Int, Int)] = {
     if (events.isEmpty) return Vector.empty
     val gameId = events.head.game_id
 
@@ -137,7 +143,7 @@ object OptaGameConverter {
 
     // W4 dribble synthesis (R/opta_spadl.R:151-191)
     val dribbles = acts.sliding(2).collect {
-      case Vector((prev, _), (nex, nexSrc)) if {
+      case Vector((prev, prevSrc), (nex, nexSrc)) if {
         val dx = prev.end_x - nex.start_x
         val dy = prev.end_y - nex.start_y
         val d2 = dx * dx + dy * dy
@@ -153,16 +159,16 @@ object OptaGameConverter {
           bodypart_id = 0, bodypart_name = "foot",
           type_name = "dribble",
           result_name = "success", result_id = resultIdByName("success")),
-          nexSrc)
+          nexSrc, prevSrc)
     }.toVector
 
     // rbind(events, dribbles) then STABLE re-sort by (period, time)
     // (R/opta_spadl.R:189-190) — equal keys keep concat order, so a dribble
     // sorts after every event sharing its (period_id, time_seconds).
-    val merged = (acts ++ dribbles)
-      .sortBy { case (p, _) => (p.period_id, p.time_seconds) } // stable
+    val merged = (acts.map { case (p, s) => (p, s, s) } ++ dribbles)
+      .sortBy { case (p, _, _) => (p.period_id, p.time_seconds) } // stable
 
-    merged.zipWithIndex.map { case ((p, src), i) =>
+    merged.zipWithIndex.map { case ((p, src, needSrc), i) =>
       (SpadlAction(
         game_id = gameId, event_id = p.event_id, action_idx = i + 1,
         period_id = p.period_id, minute = p.minute, second = p.second,
@@ -173,7 +179,7 @@ object OptaGameConverter {
         type_id = actionIdByName(p.type_name), type_name = p.type_name,
         result_id = p.result_id, result_name = p.result_name,
         bodypart_id = p.bodypart_id, bodypart_name = p.bodypart_name,
-        assist = p.assist, keypass = p.keypass), src)
+        assist = p.assist, keypass = p.keypass), src, needSrc)
     }
   }
 }

@@ -65,6 +65,8 @@ object SpadlStream {
     */
   final case class GameBuf(
       provider: Int, home: Int, emittedActions: Int, frontierTs: Long,
+      droppedPrefix: Int, // leading window-output actions already emitted
+      carry: graft.vaep.ValuationCore.Carry, // O(1) valuation resume state
       seqs: Array[Int], tss: Array[Long], offsets: Array[Int],
       flat: Array[Int], kpSeqs: Array[Int], kpTypes: Array[String]) {
     def size: Int = seqs.length
@@ -79,12 +81,15 @@ object SpadlStream {
   }
 
   object GameBuf {
-    val empty: GameBuf = GameBuf(-1, -1, 0, Long.MinValue,
+    val empty: GameBuf = GameBuf(-1, -1, 0, Long.MinValue, 0,
+      graft.vaep.ValuationCore.Carry.empty,
       Array.empty, Array.empty, Array(0), Array.empty, Array.empty,
       Array.empty)
 
     def build(provider: Int, home: Int, emittedActions: Int,
-        frontierTs: Long, events: Seq[BufEvent]): GameBuf = {
+        frontierTs: Long, droppedPrefix: Int,
+        carry: graft.vaep.ValuationCore.Carry,
+        events: Seq[BufEvent]): GameBuf = {
       val n = events.size
       val seqs = new Array[Int](n)
       val tss = new Array[Long](n)
@@ -106,7 +111,8 @@ object SpadlStream {
         i += 1
       }
       offsets(n) = off
-      GameBuf(provider, home, emittedActions, frontierTs, seqs, tss,
+      GameBuf(provider, home, emittedActions, frontierTs,
+        droppedPrefix, carry, seqs, tss,
         offsets, flat, kpS.result(), kpT.result())
     }
   }
@@ -141,10 +147,28 @@ object SpadlStream {
     * future event has ts >= wm and therefore sorts after ALL safe events.
     * `finalFlush` (session close) emits everything.
     */
-  private def optaValued(key: String, home: Int, safe: Seq[BufEvent],
-      already: Int, finalFlush: Boolean): (Vector[ValuedAction], Int) = {
+  /** Incremental Opta emission: convert ONLY the buffered window (the two
+    * retained overlap events + everything not yet retired), resume the
+    * valuation from the O(1) carry, emit the newly-stable actions
+    * (src <= |window| - 2) and report what to retain. Work per batch is
+    * O(new events), state is O(unsafe tail + 2), yet output is bitwise
+    * equal to the whole-game batch conversion (the slicing-equivalence
+    * property test pins this).
+    */
+  /** emission result: actions to emit, new emitted-count/carry, and the
+    * retention decision — keep buffered-safe events from position
+    * `keepFrom`, with `newDroppedPrefix` leading actions of the retained
+    * window's output already emitted.
+    */
+  private final case class EmitResult(out: Vector[ValuedAction],
+      emittedActions: Int, carry: ValuationCore.Carry, keepFrom: Int,
+      newDroppedPrefix: Int)
+
+  private def optaEmit(key: String, home: Int, window: Seq[BufEvent],
+      emittedActions: Int, droppedPrefix: Int,
+      carry: ValuationCore.Carry, finalFlush: Boolean): EmitResult = {
     val gameId = key.toInt
-    val ordered = safe.sortBy(_.seq)
+    val ordered = window.sortBy(_.seq)
     val raws = ordered.map { b =>
       val r = TokenCodec.toOptaRaw(gameId, home,
         TokenCodec.decodeOptaGroup(b.group))
@@ -155,14 +179,48 @@ object SpadlStream {
       }
     }
     val withSrc = OptaGameConverter.convertWithSrc(raws)
-    // src positions live in the sorted PERIOD-FILTERED event space (P1)
-    val inPlay = raws.count(r => r.period_id == 1 || r.period_id == 2)
+    val w = ordered.size // all in-play: period-filtered at accept time
+    // stability cut: the longest output PREFIX whose actions all have
+    // src <= w-2 (src is NOT monotone at timestamp ties — a stable dribble
+    // can sort after an unstable original and must wait with it)
     val stableCount =
       if (finalFlush) withSrc.size
-      else withSrc.takeWhile(_._2 <= inPlay - 2).size
-    val valuedAll = ValuationCore.value(withSrc.map(_._1))
-    (valuedAll.slice(already, stableCount), stableCount)
+      else withSrc.takeWhile(_._2 <= w - 2).size
+    val dropCount = droppedPrefix // already-emitted output prefix length
+    val pending = withSrc.drop(dropCount).map { case (a, _, _) => a }
+    val withIdx = pending.zipWithIndex.map { case (a, i) =>
+      a.copy(action_idx = emittedActions + i + 1)
+    }
+    val (valued, carries) = ValuationCore.valueWithCarry(withIdx, carry)
+    val emitCount = math.max(0, stableCount - dropCount)
+    val out = valued.take(emitCount)
+    val newCarry = if (emitCount > 0) carries(emitCount - 1) else carry
+    // retention: keep the event suffix that regenerates every pending
+    // action (min needSrc over pending — a pending dribble needs its pair
+    // PREV action's event, possibly across non-action event runs); with no
+    // pending, future dribbles pair with the last emitted ORIGINAL action.
+    val keepCandidate =
+      if (stableCount < withSrc.size)
+        withSrc.drop(stableCount).iterator.map(_._3).min
+      else {
+        val lastOriginal = withSrc.take(stableCount).reverseIterator
+          .find(_._1.type_name != "dribble")
+        lastOriginal.map(_._2).getOrElse(0)
+      }
+    val keepFrom = math.max(0, math.min(keepCandidate, w - 2))
+    // emitted actions regenerated by the retained suffix form its output
+    // prefix (output order is preserved on event suffixes)
+    val newDroppedPrefix =
+      withSrc.take(stableCount).count(_._3 >= keepFrom)
+    EmitResult(out, emittedActions + emitCount, newCarry, keepFrom,
+      newDroppedPrefix)
   }
+
+  /** converter-order sort key of a buffered Opta event (period, minute,
+    * second; seq as the stable tie-break, matching doc-order stability).
+    */
+  private def optaSortKey(b: BufEvent): (Int, Int, Int, Int) =
+    (b.group(2), b.group(3), b.group(4), b.seq)
 
   private def instatValued(key: String, home: Int,
       events: Seq[BufEvent]): Vector[ValuedAction] = {
@@ -177,15 +235,19 @@ object SpadlStream {
       lateCounter: Option[org.apache.spark.util.LongAccumulator])(
       key: String, rows: Iterator[StreamEvent],
       state: GroupState[GameBuf]): Iterator[ValuedAction] = {
+    val dbg = sys.env.get("GRAFT_STATE_DEBUG").contains(key)
     if (state.hasTimedOut) {
       // session close: flush the remainder, drop the state
       val buf = state.get
       val events = buf.toEvents
       val out =
         if (buf.provider == TokenCodec.ProviderOpta)
-          optaValued(key, buf.home, events, buf.emittedActions,
-            finalFlush = true)._1
+          optaEmit(key, buf.home, events, buf.emittedActions,
+            buf.droppedPrefix, buf.carry, finalFlush = true).out
         else instatValued(key, buf.home, events)
+      if (dbg) println(s"[state $key] TIMEOUT buffered=${events.size} " +
+        s"emitted=${buf.emittedActions} dp=${buf.droppedPrefix} " +
+        s"flush=${out.map(_.action_idx).mkString(",")}")
       state.remove()
       return out.iterator
     }
@@ -200,7 +262,12 @@ object SpadlStream {
     val fresh = Vector.newBuilder[BufEvent]
     var dropped = 0L
     rows.foreach { e =>
-      if (e.event_time.getTime < buf0.frontierTs) dropped += 1 // truly late
+      // truly-late drop: the event's region is already emitted AND its
+      // duplicates of retired events land here too (retired => ts<frontier)
+      if (e.event_time.getTime < buf0.frontierTs) dropped += 1
+      else if (e.provider == TokenCodec.ProviderOpta && {
+        val p = e.group(2); p != 1 && p != 2
+      }) () // P1 period filter at ingestion: never buffered
       else if (seen.add(e.seq)) { // duplicate delivery: idempotent
         provider = e.provider
         home = e.home_team_id
@@ -221,19 +288,31 @@ object SpadlStream {
     if (provider == TokenCodec.ProviderOpta) {
       // safe set: events strictly below the emission frontier. Convert only
       // when it can have grown (frontier advanced or new sub-frontier rows)
-      // — otherwise every heartbeat batch would re-convert the whole buffer.
+      // — otherwise every heartbeat batch would re-convert the window.
       val safe = events.filter(_.ts < frontier)
       val safeGrew = frontier > buf0.frontierTs ||
         freshV.exists(_.ts < frontier)
-      val (out, emitted) =
-        if (safe.size >= 2 && safeGrew)
-          optaValued(key, home, safe, buf0.emittedActions, finalFlush = false)
-        else (Vector.empty[ValuedAction], buf0.emittedActions)
-      state.update(GameBuf.build(provider, home, emitted, frontier, events))
-      out.iterator
+      if (safe.size >= 2 && safeGrew) {
+        val r = optaEmit(key, home, safe, buf0.emittedActions,
+          buf0.droppedPrefix, buf0.carry, finalFlush = false)
+        if (dbg) println(s"[state $key] wm=$wm frontier=$frontier " +
+          s"safe=${safe.size} total=${events.size} fresh=${freshV.size} " +
+          s"emitted ${buf0.emittedActions}->${r.emittedActions} " +
+          s"keepFrom=${r.keepFrom} dp=${r.newDroppedPrefix} " +
+          s"out=${r.out.map(_.action_idx).mkString(",")}")
+        val keep = safe.sortBy(optaSortKey).drop(r.keepFrom) ++
+          events.filter(_.ts >= frontier)
+        state.update(GameBuf.build(provider, home, r.emittedActions,
+          frontier, r.newDroppedPrefix, r.carry, keep))
+        r.out.iterator
+      } else {
+        state.update(GameBuf.build(provider, home, buf0.emittedActions,
+          frontier, buf0.droppedPrefix, buf0.carry, events))
+        Iterator.empty
+      }
     } else {
       state.update(GameBuf.build(provider, home, buf0.emittedActions,
-        frontier, events))
+        frontier, buf0.droppedPrefix, buf0.carry, events))
       Iterator.empty
     }
   }

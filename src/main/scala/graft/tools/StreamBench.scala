@@ -92,6 +92,12 @@ object StreamBench {
       .flatMap(i => SpadlStream.toStreamEvents(FixtureGen.game(i, perGame).doc, Base))
       .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
     val nEvents = all.size
+    val truthRows = (0 until games).map { i =>
+      val g = FixtureGen.game(i, perGame)
+      graft.convert.SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens,
+        Nil).size
+    }.sum
+    println(s"[sbench] batch truth action rows = $truthRows")
     // time-ordered files so each trigger advances the watermark
     val nFiles = 16
     val chunk = math.max(1, nEvents / nFiles)
@@ -112,8 +118,28 @@ object StreamBench {
     var rows = 0L
     (1 to reps).foreach { r =>
       val (rl, sl, srl, ssl) = run(2, srcDir, root, s"lo$r")
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG") && r == 1) {
+        val sp = session(4)
+        import org.apache.spark.sql.functions.col
+        val got = new ExactlyOnceSink(s"$root/out_lo$r").read(sp)
+          .select("game_id", "event_id", "type_name", "time_seconds")
+          .collect().map(_.toSeq).groupBy(identity).map { case (k, v) => k -> v.size }
+        val truthKeys = (0 until games).flatMap { i =>
+          val g = FixtureGen.game(i, perGame)
+          graft.convert.SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens, Nil)
+        }.map(a => Seq[Any](a.game_id, a.event_id, a.type_name, a.time_seconds))
+          .groupBy(identity).map { case (k, v) => k -> v.size }
+        truthKeys.foreach { case (k, n) =>
+          val m = got.getOrElse(k, 0)
+          if (m < n) println(s"[sbench] MISSING $k truth=$n got=$m")
+        }
+        sp.stop()
+      }
       val (rh, sh, srh, ssh) = run(8, srcDir, root, s"hi$r")
       require(rl == rh, s"output mismatch lo=$rl hi=$rh")
+      require(rh == truthRows,
+        s"stream output $rh != batch truth $truthRows") // north rule:
+      // identical exactly-once output across parallelism levels AND vs batch
       rows = rh
       secLo = math.min(secLo, sl)
       secHi = math.min(secHi, sh)

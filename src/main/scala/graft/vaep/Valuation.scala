@@ -158,13 +158,42 @@ object Valuation {
 object ValuationCore {
   import Valuation._
 
-  def value(actions: Seq[SpadlAction]): Vector[ValuedAction] = {
-    if (actions.isEmpty) return Vector.empty
+  /** O(1) resumable valuation state — the "stateful sliding-window
+    * aggregate over the preceding k actions" of the north star, reduced to
+    * its minimal carry: the running goalscore and the previous action's
+    * probabilities/flags (VAEP's window is k=1 plus running counters).
+    */
+  final case class Carry(
+      teamA: Int, gsA: Int, gsB: Int,
+      havePrev: Boolean, prevTeam: Int, prevTs: Double,
+      prevS: Double, prevC: Double, prevGoal: Boolean)
+  object Carry {
+    val empty: Carry = Carry(-1, 0, 0, false, -1, 0.0, 0.0, 0.0, false)
+  }
+
+  def value(actions: Seq[SpadlAction]): Vector[ValuedAction] =
+    valueWithCarry(actions, Carry.empty)._1
+
+  /** Value `actions` continuing from `carry`; returns the valued actions
+    * and the carry AFTER EACH position (carries(i) = state after action i),
+    * so a caller emitting only a stable prefix can resume from exactly the
+    * emitted boundary. Bitwise-identical to a single whole-game pass.
+    */
+  def valueWithCarry(actions: Seq[SpadlAction],
+      carry: Carry): (Vector[ValuedAction], Vector[Carry]) = {
+    if (actions.isEmpty) return (Vector.empty, Vector.empty)
     val as = actions.toVector
-    val teamA = as.head.team_id
-    var gsA = 0
-    var gsB = 0
-    val rows = Vector.newBuilder[(SpadlAction, Double, Double)]
+    val teamA = if (carry.teamA == -1) as.head.team_id else carry.teamA
+    var gsA = carry.gsA
+    var gsB = carry.gsB
+    val out = Vector.newBuilder[ValuedAction]
+    val carries = Vector.newBuilder[Carry]
+    var havePrev = carry.havePrev
+    var prevTeam = carry.prevTeam
+    var prevTs = carry.prevTs
+    var prevS = carry.prevS
+    var prevC = carry.prevC
+    var prevGoal = carry.prevGoal
     as.foreach { a =>
       val isGoal = a.type_name.contains("shot") && a.result_name == "success"
       val isOwngoal = a.type_name.contains("shot") && a.result_name == "owngoal"
@@ -185,29 +214,32 @@ object ValuationCore {
       val p_s = scoreP(eDist, a.type_name.contains("shot"),
         a.result_name == "success", gsDiff)
       val p_c = concedeP(sDist, eDist, a.result_name == "fail", gsDiff)
-      rows += ((a, p_s, p_c))
-      if ((isGoal && teamIsA) || (isOwngoal && !teamIsA)) gsA += 1
-      if ((isGoal && !teamIsA) || (isOwngoal && teamIsA)) gsB += 1
-    }
-    val scored = rows.result()
-    scored.zipWithIndex.map { case ((a, p_s, p_c), i) =>
       val (off, dfn) =
-        if (i == 0) (p_s - 0.0, -(p_c - 0.0))
+        if (!havePrev) (p_s - 0.0, -(p_c - 0.0))
         else {
-          val (pa, ps1, pc1) = scored(i - 1)
-          val sameTeam = a.team_id == pa.team_id
-          val tooLong = math.abs(a.time_seconds - pa.time_seconds) > 10.0
-          val prevGoal = pa.type_name.contains("shot") &&
-            (pa.result_name == "success" || pa.result_name == "owngoal")
-          val prevS = if (tooLong || prevGoal) 0.0 else if (sameTeam) ps1 else pc1
-          val prevC = if (tooLong || prevGoal) 0.0 else if (sameTeam) pc1 else ps1
-          (p_s - prevS, -(p_c - prevC))
+          val sameTeam = a.team_id == prevTeam
+          val tooLong = math.abs(a.time_seconds - prevTs) > 10.0
+          val pS = if (tooLong || prevGoal) 0.0 else if (sameTeam) prevS else prevC
+          val pC = if (tooLong || prevGoal) 0.0 else if (sameTeam) prevC else prevS
+          (p_s - pS, -(p_c - pC))
         }
-      ValuedAction(a.game_id, a.event_id, a.action_idx, a.period_id,
+      out += ValuedAction(a.game_id, a.event_id, a.action_idx, a.period_id,
         a.minute, a.second, a.time_seconds, a.player_id, a.team_id,
         a.home_team_id, a.side, a.start_x, a.start_y, a.end_x, a.end_y,
         a.type_id, a.type_name, a.result_id, a.result_name, a.bodypart_id,
         a.bodypart_name, a.assist, a.keypass, p_s, p_c, off, dfn, off + dfn)
+      if ((isGoal && teamIsA) || (isOwngoal && !teamIsA)) gsA += 1
+      if ((isGoal && !teamIsA) || (isOwngoal && teamIsA)) gsB += 1
+      havePrev = true
+      prevTeam = a.team_id
+      prevTs = a.time_seconds
+      prevS = p_s
+      prevC = p_c
+      prevGoal = a.type_name.contains("shot") &&
+        (a.result_name == "success" || a.result_name == "owngoal")
+      carries += Carry(teamA, gsA, gsB, havePrev, prevTeam, prevTs,
+        prevS, prevC, prevGoal)
     }
+    (out.result(), carries.result())
   }
 }

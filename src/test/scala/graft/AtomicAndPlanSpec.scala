@@ -90,6 +90,12 @@ class AtomicAndPlanSpec extends AnyFunSuite {
     assert(base == salted)
   }
 
+  test("driver entry point returns rows (flagship player index)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSet == Set("player_id", "index"))
+  }
+
   test("plan: dimension joins broadcast; filters push to parquet scan") {
     val q3 = SparkEntry.queries("q03_join_segment")(spark,
       "/root/testdata/sf0.001")

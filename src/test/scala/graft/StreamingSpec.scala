@@ -90,9 +90,12 @@ class StreamingSpec extends AnyFunSuite {
     val games = FixtureGen.corpus(6, 80)
     val truth = batchTruth(games.map(g => g.copy(keypasses = Nil)))
       .sortBy(key)
-    for (slices <- Seq(1, 7)) {
+    for (slices <- Seq(1, 7, 29)) {
       val got = runStream(games, slices).sortBy(key)
-      assert(got.size == truth.size, s"slices=$slices row count")
+      val missing = truth.map(key).toSet -- got.map(key).toSet
+      val extra = got.map(key).toSet -- truth.map(key).toSet
+      assert(got.size == truth.size,
+        s"slices=$slices row count; missing=$missing extra=$extra")
       got.zip(truth).foreach { case (a, b) =>
         assert(a == b, s"slices=$slices mismatch at ${key(a)}")
       }
