@@ -92,12 +92,18 @@ object StreamBench {
       .flatMap(i => SpadlStream.toStreamEvents(FixtureGen.game(i, perGame).doc, Base))
       .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
     val nEvents = all.size
-    val truthRows = (0 until games).map { i =>
+    val truthActions = (0 until games).flatMap { i =>
       val g = FixtureGen.game(i, perGame)
-      graft.convert.SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens,
-        Nil).size
-    }.sum
-    println(s"[sbench] batch truth action rows = $truthRows")
+      graft.vaep.ValuationCore.value(
+        graft.convert.SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens,
+          Nil))
+    }
+    val truthRows = truthActions.size
+    // content digest over EVERY field of every row (order-independent)
+    def digestOf(hs: Seq[Long]): Long =
+      hs.sorted.foldLeft(17L)((a, b) => a * 31L + b)
+    val truthDigest = digestOf(truthActions.map(_.hashCode.toLong))
+    println(s"[sbench] batch truth action rows = $truthRows digest=$truthDigest")
     // time-ordered files so each trigger advances the watermark
     val nFiles = 16
     val chunk = math.max(1, nEvents / nFiles)
@@ -138,8 +144,21 @@ object StreamBench {
       val (rh, sh, srh, ssh) = run(8, srcDir, root, s"hi$r")
       require(rl == rh, s"output mismatch lo=$rl hi=$rh")
       require(rh == truthRows,
-        s"stream output $rh != batch truth $truthRows") // north rule:
-      // identical exactly-once output across parallelism levels AND vs batch
+        s"stream output $rh != batch truth $truthRows")
+      // north rule: identical exactly-once output across parallelism levels
+      // AND vs batch — full-content, all fields, order-independent digest
+      if (r == 1) Seq("lo1", "hi1").foreach { tag =>
+        val sp = session(4)
+        import sp.implicits._
+        val digest = digestOf(new ExactlyOnceSink(s"$root/out_$tag").read(sp)
+          .drop("_lineage_partition", "_batch_id")
+          .as[graft.model.ValuedAction].collect()
+          .map(_.hashCode.toLong).toSeq)
+        sp.stop()
+        require(digest == truthDigest,
+          s"$tag sink content digest $digest != batch truth $truthDigest")
+        println(s"[sbench] $tag content digest OK")
+      }
       rows = rh
       secLo = math.min(secLo, sl)
       secHi = math.min(secHi, sh)
