@@ -49,10 +49,15 @@ object StreamJob {
       keypass: Option[org.apache.spark.sql.DataFrame] = None,
       watermarkDelay: String = "10 seconds",
       sessionGap: String = "10 minutes",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      saltParts: Option[Int] = None): StreamingQuery = {
     val sink = new ExactlyOnceSink(outDir)
+    // optional salted spread of the STATELESS stage for hot-source input
+    // skew; the stateful stage re-keys by doc_id, so correctness is
+    // unaffected (asserted by the slicing-equivalence tests)
+    val spread = saltParts.map(saltedSpread(events, _)).getOrElse(events)
     val valued: Dataset[ValuedAction] =
-      SpadlStream.valuedActions(spark, events, keypass, watermarkDelay,
+      SpadlStream.valuedActions(spark, spread, keypass, watermarkDelay,
         sessionGap)
     valued.writeStream
       .outputMode("append")

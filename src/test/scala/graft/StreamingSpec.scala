@@ -216,9 +216,10 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$srcDir/*")
       .as[SpadlStream.StreamEvent]
-    // phase 1: process first half, then "crash" (stop)
+    // phase 1: process first half, then "crash" (stop) — with the salted
+    // spread of the stateless stage enabled (output must be unaffected)
     val q1 = StreamJob.start(spark, stream, outDir, ckDir,
-      trigger = Trigger.AvailableNow())
+      trigger = Trigger.AvailableNow(), saltParts = Some(5))
     q1.awaitTermination(120000)
     q1.stop()
     // phase 2: second half + sentinels land, restart from checkpoint
@@ -227,7 +228,7 @@ class StreamingSpec extends AnyFunSuite {
     spark.createDataset(Seq(sentinel(2, 31))).write.parquet(s"$srcDir/p4")
     spark.createDataset(Seq(sentinel(3, 32))).write.parquet(s"$srcDir/p5")
     val q2 = StreamJob.start(spark, stream, outDir, ckDir,
-      trigger = Trigger.AvailableNow())
+      trigger = Trigger.AvailableNow(), saltParts = Some(5))
     q2.awaitTermination(180000)
     q2.stop()
     val sink = new ExactlyOnceSink(outDir)
