@@ -199,6 +199,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sink crash between write and ledger commit: reader blind until re-delivery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    val sink = new ExactlyOnceSink(dir)
+    val rows = batchTruth(FixtureGen.corpus(1, 60).map(_.copy(keypasses = Nil)))
+    val df = spark.createDataset(rows).toDF()
+    // simulate a crash AFTER the parquet write but BEFORE the ledger append:
+    // write the batch dir directly, no commit record
+    df.write.mode("overwrite").parquet(s"$dir/batch_id=7")
+    assert(sink.read(spark).isEmpty, "uncommitted batch must be invisible")
+    // recovery: the batch is re-delivered with the same id -> overwrite+commit
+    sink.write(df, 7L)
+    assert(sink.read(spark).count() == rows.size)
+    assert(sink.read(spark).select("game_id", "action_idx")
+      .distinct().count() == rows.size)
+  }
+
   test("checkpoint resume: kill between micro-batches, restart, exactly-once output") {
     import spark.implicits._
     val games = FixtureGen.corpus(3, 60)
