@@ -88,7 +88,46 @@ object Similarity {
     // -------------------- LSH random-hyperplane bucketing (ANN scale path)
     QueryDef("q35_ann_lsh_buckets",
       (s, d) => lshBuckets(s, T.load(s, d, "embeddings")),
-      None)
+      None),
+
+    // ------------- embedding-cosine near-duplicate pairs (exact, blocked
+    // by label — the IVF-style partition key; at 100 TB the blocking key
+    // is the coarse quantizer cell, so the pairwise stage stays bounded)
+    QueryDef("q40_embedding_neardup",
+      (s, d) => {
+        val e = T.load(s, d, "embeddings")
+        val a = e.select(col("vec_id").as("vec_a"), col("label"),
+          col("embedding").as("emb_a"))
+        val b = e.select(col("vec_id").as("vec_b"),
+          col("label"), col("embedding").as("emb_b"))
+        a.join(b, Seq("label"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cosine", round(
+            dot(col("emb_a"), col("emb_b")) /
+              (norm(col("emb_a")) * norm(col("emb_b"))), 4))
+          .filter(col("cosine") >= 0.25)
+          .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          a.label AS label,
+          round(
+            list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(
+            list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.25
+        ORDER BY vec_a, vec_b"""))
   )
 
   /** Deterministic "random" hyperplanes: component h_ij of hyperplane i is
