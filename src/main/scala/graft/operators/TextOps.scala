@@ -103,6 +103,31 @@ object TextOps {
         .orderBy(col("doc_id")),
       None), // crc32 not in DuckDB 1.0 — rows-only
 
+    // ---------------------------- corpus term stats: top-5 terms per lang
+    QueryDef("q41_term_freq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = T.load(s, d, "documents")
+          .select(col("lang"), explode(words(col("text"))).as("term"))
+          .groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("tf"),
+            countDistinct(lit(1)).as("_one")) // exercise distinct agg path
+          .drop("_one")
+        val w = Window.partitionBy("lang")
+          .orderBy(col("tf").desc, col("term"))
+        terms.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("term"), col("tf"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        f AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY lang, term),
+        r AS (SELECT lang, term, tf, row_number() OVER
+          (PARTITION BY lang ORDER BY tf DESC, term) AS rk FROM f)
+        SELECT lang, rk, term, tf FROM r WHERE rk <= 5
+        ORDER BY lang, rk""")),
+
     // ---------------- multimodal plumbing: opaque binary + typed metadata.
     // The decode/feature-extract step is a STUB (no image/audio libs in this
     // container): payload = utf8 bytes of text standing in for media bytes;
