@@ -94,18 +94,23 @@ object Bench {
 
     // ---------------- per-query timings at local[cpus]
     val spark = session(cpus)
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","spadl_bench":{"games":$benchGames,"action_rows":$actionRows,"tokens":$tokensTotal,"cores_lo":$lo,"cores_hi":$hi,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"tokens_per_sec_lo":$tokLo%.1f,"tokens_per_sec_hi":$tokHi%.1f,"scaling_efficiency":$eff%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"spadl_bench":{"games":$benchGames,"action_rows":$actionRows,"tokens":$tokensTotal,"cores_lo":$lo,"cores_hi":$hi,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"tokens_per_sec_lo":$tokLo%.1f,"tokens_per_sec_hi":$tokHi%.1f,"scaling_efficiency":$eff%.3f}}""")
   }
 }
