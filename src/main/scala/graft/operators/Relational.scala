@@ -450,6 +450,24 @@ object Relational {
         FROM orders JOIN mx ON o_custkey = k AND o_totalprice = m
         GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // ------------------------- rollup: multi-level aggregation in one pass
+    QueryDef("q42_rollup",
+      (s, d) => T.load(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_cents"))
+        .orderBy(col("status"), col("priority")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS n,
+          CAST(round(sum(o_totalprice * 100), 0) AS BIGINT) AS total_cents
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
     // ---------------- A1+J7+W11: player-index analog (flagship report)
     QueryDef("q20_user_index",
       (s, d) => {
