@@ -28,6 +28,30 @@ object TextOps {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
+  /** q43: frame-sampling plumbing for media payloads — stride-16 sampling
+    * over the byte stream (text bytes stand in for media bytes; the decode
+    * step is the stub, the Spark-side batch shape is real: sequence() +
+    * transform() + aggregate(), all codegen, no UDF).
+    */
+  val frameSample: QueryDef = QueryDef("q43_frame_sample",
+    (s, d) => {
+      val stride = 16
+      val positions = sequence(lit(1), length(col("text")), lit(stride))
+      T.load(s, d, "documents")
+        .select(col("doc_id"),
+          size(positions).as("n_frames"),
+          aggregate(
+            transform(positions, i =>
+              ascii(col("text").substr(i, lit(1))).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("frame_checksum"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        len(generate_series(1, CAST(length(text) AS INT), 16)) AS n_frames,
+        list_sum(list_transform(generate_series(1, CAST(length(text) AS INT), 16),
+          i -> ascii(substring(text, CAST(i AS INT), 1)))) AS frame_checksum
+      FROM documents ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------- token counting (exact)
     QueryDef("q27_token_counts",
@@ -151,7 +175,8 @@ object TextOps {
         substring(upper(hex(encode(text))), 1, 16) AS magic,
         lang
         FROM documents ORDER BY doc_id"""))
-  )
+  ) :+ frameSample
+
 
   private def markersRank(l: String): Int =
     markers.keys.toSeq.sorted.indexOf(l)
