@@ -41,8 +41,8 @@ object Dedup {
       },
       Some("""WITH g AS (SELECT source, md5(text) AS h, count(*) AS n
           FROM documents GROUP BY source, md5(text))
-        SELECT source, sum(n) AS n_docs, count(*) AS n_distinct,
-          sum(n) - count(*) AS n_exact_dups
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+          CAST(sum(n) - count(*) AS BIGINT) AS n_exact_dups
         FROM g GROUP BY source ORDER BY source""")),
 
     // ------------------------------------- word-bag (order-invariant) dedup
@@ -75,7 +75,8 @@ object Dedup {
       Some("""WITH r AS (SELECT lang, n_chars,
           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
         FROM documents)
-        SELECT lang, count(*) AS n_unique, sum(n_chars) AS sum_chars
+        SELECT lang, count(*) AS n_unique,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM r WHERE rk = 1 GROUP BY lang ORDER BY lang""")),
 
     // ----------------------------------- MinHash + LSH band join (no oracle:

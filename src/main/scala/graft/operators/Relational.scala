@@ -206,7 +206,8 @@ object Relational {
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN 1 FOLLOWING AND 9 FOLLOWING), 0) AS label
         FROM events)
-        SELECT event_type, count(*) AS n, sum(label) AS n_positive
+        SELECT event_type, count(*) AS n,
+          CAST(sum(label) AS BIGINT) AS n_positive
         FROM l GROUP BY event_type ORDER BY event_type""")),
 
     // -------------------- A2: running pre-event score (goalscore analog)
@@ -221,11 +222,11 @@ object Relational {
           .select(col("event_id"), col("user_id"), col("purchases_before"))
           .orderBy(col("user_id"), col("event_id"))
       },
-      Some("""SELECT event_id, user_id, coalesce(
+      Some("""SELECT event_id, user_id, coalesce(CAST(
           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          AS purchases_before
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS BIGINT), 0) AS purchases_before
         FROM events ORDER BY user_id, event_id""")),
 
     // ------------------- W10: gap-based sessionization (10 min sessions)
@@ -256,8 +257,8 @@ object Relational {
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         se AS (
           SELECT user_id, event_id, es,
-            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM g)
         SELECT user_id, session_id, count(*) AS n_events,
           max(es) - min(es) AS dur_s
@@ -310,7 +311,7 @@ object Relational {
           sum(col("minute_in_hour")).as("sum_min"))
         .orderBy(col("hour_of_day")),
       Some("""SELECT CAST(hour(ts) AS INT) AS hour_of_day, count(*) AS n,
-        sum(CAST(minute(ts) AS BIGINT)) AS sum_min
+        CAST(sum(CAST(minute(ts) AS BIGINT)) AS BIGINT) AS sum_min
         FROM events GROUP BY 1 ORDER BY hour_of_day""")),
 
     // ----------------------------- F11/F12: string predicates + concat key
@@ -353,7 +354,7 @@ object Relational {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type,
-        sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
         count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")),
 

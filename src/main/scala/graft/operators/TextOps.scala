@@ -48,8 +48,8 @@ object TextOps {
     },
     Some("""SELECT doc_id,
         len(generate_series(1, CAST(length(text) AS INT), 16)) AS n_frames,
-        list_sum(list_transform(generate_series(1, CAST(length(text) AS INT), 16),
-          i -> ascii(substring(text, CAST(i AS INT), 1)))) AS frame_checksum
+        CAST(list_sum(list_transform(generate_series(1, CAST(length(text) AS INT), 16),
+          i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS frame_checksum
       FROM documents ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
@@ -65,8 +65,8 @@ object TextOps {
           sum(col("re_tokens")).as("sum_re_tokens"))
         .orderBy(col("source")),
       Some("""SELECT source, count(*) AS n_docs,
-        sum(len(string_split(text, ' '))) AS sum_ws_tokens,
-        sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS sum_re_tokens
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS sum_re_tokens
         FROM documents GROUP BY source ORDER BY source""")),
 
     // --------------------------------- quality scoring (ratios, exact ints)
@@ -95,8 +95,10 @@ object TextOps {
           CAST(round(n_chars * 100.0 / len(string_split(text, ' ')), 0)
             AS BIGINT) AS mean_wordlen_x100
         FROM documents)
-        SELECT lang, count(*) AS n_docs, sum(n_words) AS sum_words,
-          sum(n_stop) AS sum_stop, sum(mean_wordlen_x100) AS sum_mwl
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_words) AS BIGINT) AS sum_words,
+          CAST(sum(n_stop) AS BIGINT) AS sum_stop,
+          CAST(sum(mean_wordlen_x100) AS BIGINT) AS sum_mwl
         FROM q GROUP BY lang ORDER BY lang""")),
 
     // ----------------------------------------- heuristic language ID

@@ -44,13 +44,26 @@ for name, sql in sorted(oracle.items()):
         continue
     es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
     ms = mine.sort_values(by=list(mine.columns)).reset_index(drop=True)
+    # DTYPE-EXACT compare, mirroring the driver's serialization-sensitive
+    # hash: DuckDB HUGEINT (uncast integer sum) lands in pandas as
+    # float64/object while Spark BIGINT is int64 — numerically equal values
+    # then hash DIFFERENTLY driver-side. So (a) dtype *kind* must match
+    # (int vs float vs object), and (b) values are compared via their string
+    # serialization, never numeric ==.
     diffs = []
     for c in exp.columns:
         a, b = es[c], ms[c]
-        try:
-            eq = (a == b) | (a.isna() & b.isna())
-        except Exception:
-            eq = a.astype(str) == b.astype(str)
+        ka, kb = a.dtype.kind, b.dtype.kind
+        # int32 vs int64 is proven hash-equal driver-side (q13 rk passed);
+        # int vs float / int vs object is exactly the HUGEINT trap.
+        if (ka in "iu") != (kb in "iu") or (ka == "f") != (kb == "f"):
+            diffs.append(f"{c}: DTYPE oracle={a.dtype} mine={b.dtype}")
+            continue
+        sa = a.map(lambda v: "<NA>" if v != v or v is None else str(v)) \
+            if ka in "fO" else a.astype(str)
+        sb = b.map(lambda v: "<NA>" if v != v or v is None else str(v)) \
+            if kb in "fO" else b.astype(str)
+        eq = sa == sb
         if not eq.all():
             idx = (~eq).idxmax()
             diffs.append(f"{c}[{idx}]: oracle={a[idx]!r} mine={b[idx]!r}")
