@@ -56,11 +56,13 @@ object Bench {
     import prep.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val docsPath = s"$tmp/docs.parquet"
-    val corpus = (0 until benchGames).map(i =>
-      FixtureGen.game(i, 400).doc)
-    val tokensTotal = corpus.map(_.n_tok.toLong).sum
-    prep.createDataset(corpus).repartition(64)
+    // corpus generated ON EXECUTORS (range -> map), 64 generation partitions
+    // up front so there is no shuffle and no driver-built task closure
+    prep.range(0L, benchGames.toLong, 1L, 64)
+      .map(i => FixtureGen.game(i.toInt, 400).doc)
       .write.mode("overwrite").parquet(docsPath)
+    val tokensTotal = prep.read.parquet(docsPath)
+      .agg(sum(col("n_tok"))).as[Long].head()
     val actionRows = SpadlPipeline.convert(prep,
       prep.read.parquet(docsPath).as[graft.model.TokenDoc]).count()
     // warm-up JIT/codegen caches once at full width

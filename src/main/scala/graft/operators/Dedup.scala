@@ -26,6 +26,15 @@ object Dedup {
   private def bagKey(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
 
+  // cross-engine arithmetic hash family constants — declared BEFORE `defs`
+  // (the q26 oracle string is built while `defs` is constructed)
+  private[operators] val HashM = 1000003L   // prime modulus, ~2^20
+  private[operators] val BandM = 2147483647L // 2^31-1 band-key modulus
+  private val JacPerms = 16
+  private val JacBands = 4
+  private val JacCap = 64
+  private val JacThreshold = 0.5
+
   val defs: Seq[QueryDef] = Seq(
     // -------------------------------------------------- exact duplicate sets
     QueryDef("q21_dedup_exact",
@@ -90,11 +99,35 @@ object Dedup {
       (s, d) => simhashCandidates(s, T.load(s, d, "documents")),
       None),
 
-    // ---------------------------- n-gram Jaccard verification of candidates
+    // ---------------------------- n-gram Jaccard verification of candidates.
+    // Candidate generation here uses the ARITHMETIC MinHash twin (polynomial
+    // LCG hashes instead of xxhash64) so the whole pipeline — shingle ->
+    // minhash -> band -> bucket-join -> exact-Jaccard verify — is replayed
+    // verbatim by the DuckDB oracle. Same banding/cap as the production
+    // xxhash64 path (q24); the hash family is the only pluggable part.
     QueryDef("q26_ngram_jaccard",
       (s, d) => ngramJaccard(s, T.load(s, d, "documents")),
-      None)
+      Some(ngramJaccardOracle))
   )
+
+  /** Polynomial rolling hash of a string column: fold (acc*31 + ascii) mod
+    * 1000003 over the characters — all codegen HOFs, and the identical
+    * arithmetic is expressible in DuckDB (see [[polyHashSql]]).
+    */
+  def polyHash(s: Column): Column =
+    when(length(s) > 0,
+      aggregate(
+        transform(sequence(lit(1), length(s)),
+          i => ascii(s.substr(i, lit(1))).cast("long")),
+        lit(0L), (acc, c) => pmod(acc * 31L + c, lit(HashM))))
+      .otherwise(lit(0L))
+
+  /** DuckDB twin of [[polyHash]] over the SQL expression `e`. */
+  def polyHashSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, CAST(length($e) AS INT)),
+       |        ci -> CAST(ascii(substring($e, CAST(ci AS INT), 1)) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % $HashM)""".stripMargin
 
   /** Word 3-gram shingle array (distinct). All higher-order functions —
     * stays inside codegen, no UDF.
@@ -183,10 +216,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact n-gram Jaccard over MinHash candidates (verify stage). */
-  def ngramJaccard(s: SparkSession, docs: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    val cands = minhashCandidates(s, docs)
+  /** MinHash candidates from the ARITHMETIC hash family: shingle ->
+    * polyHash -> 16 LCG-permuted minima -> 4 banded fold-keys ->
+    * capped bucket self-join. Structurally identical to
+    * [[minhashCandidates]]; the hash family alone differs so the DuckDB
+    * oracle can replay it bit-for-bit.
+    */
+  def minhashCandidatesArith(docs: DataFrame): DataFrame = {
+    val rpb = JacPerms / JacBands
+    val hs = docs.select(col("doc_id"),
+      transform(wordShingles(col("text")), sg => polyHash(sg)).as("h0s"))
+    val sig = hs.select(col("doc_id"),
+      array((0 until JacPerms).map { p =>
+        array_min(transform(col("h0s"),
+          h => pmod(h * (2 * p + 3) + (7 * p + 1), lit(HashM))))
+      }: _*).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until JacBands).map { b =>
+        val key = (0 until rpb).foldLeft(lit(7L): Column)((acc, r) =>
+          pmod(acc * 131L + element_at(col("sig"), b * rpb + r + 1),
+            lit(BandM)))
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.key"))
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("bn") <= JacCap)
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over arithmetic-MinHash candidates (verify
+    * stage); candidate pairs stay narrow through the distinct, shingle
+    * arrays re-join after.
+    */
+  def ngramJaccard(s: SparkSession, docs: DataFrame): DataFrame = {
+    val cands = minhashCandidatesArith(docs)
     val sh = docs.select(col("doc_id"), wordShingles(col("text")).as("sh"))
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a")
@@ -194,10 +263,59 @@ object Dedup {
       .join(sh.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= JacThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB mirror of [[ngramJaccard]] — same shingles, polynomial hashes,
+    * permutations, band folds, bucket cap and Jaccard verify.
+    */
+  private lazy val ngramJaccardOracle: String = {
+    val rpb = JacPerms / JacBands
+    val permCols = (0 until JacPerms).map { p =>
+      s"list_min(list_transform(h0s, hh -> (hh * ${2 * p + 3} + ${7 * p + 1}) % $HashM)) AS m$p"
+    }.mkString(",\n      ")
+    val keyCols = (0 until JacBands).map { b =>
+      val expr = (0 until rpb).foldLeft("7")((acc, r) =>
+        s"(($acc * 131 + m${b * rpb + r}) % $BandM)")
+      s"$expr AS k$b"
+    }.mkString(",\n      ")
+    val keyCase = (0 until JacBands).map(b =>
+      s"WHEN $b THEN k$b").mkString(" ")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+       |  FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words) >= 3
+       |    THEN list_transform(generate_series(1, CAST(len(words) - 2 AS INT)),
+       |      g -> concat_ws(' ', words[g], words[g+1], words[g+2]))
+       |    ELSE [text] END) AS sh FROM w),
+       |hs AS (SELECT doc_id, list_transform(sh, sg ->
+       |    ${polyHashSql("sg")}) AS h0s FROM sh),
+       |sig AS (SELECT doc_id,
+       |      $permCols
+       |  FROM hs),
+       |keys AS (SELECT doc_id,
+       |      $keyCols
+       |  FROM sig),
+       |bands AS (SELECT doc_id, band, CASE band $keyCase END AS key
+       |  FROM keys, (SELECT unnest([${(0 until JacBands).mkString(", ")}]) AS band)),
+       |sized AS (SELECT *, count(*) OVER (PARTITION BY band, key) AS bn
+       |  FROM bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE a.bn <= $JacCap AND b.bn <= $JacCap),
+       |j AS (SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |    len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+       |FROM j WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= $JacThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 }

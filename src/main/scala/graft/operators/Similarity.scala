@@ -26,6 +26,13 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
+  // q40 LSH parameters — declared BEFORE `defs` (object init order: the
+  // oracle string is built while `defs` is constructed)
+  private val NdPlanes = 16
+  private val NdBands = 2 // 8 sign bits per band
+  private val NdBucketCap = 64
+  private val NdThreshold = 0.25
+
   val defs: Seq[QueryDef] = Seq(
     // ----------------------------------------- embedding norms (oracle'd)
     QueryDef("q32_embedding_norms",
@@ -65,70 +72,152 @@ object Similarity {
         FROM embeddings, q WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id LIMIT 10""")),
 
-    // ----------------------- centroid distance per label (IVF coarse step)
+    // ----------------------- centroid distance per label (IVF coarse step).
+    // Fully deterministic: the centroid is built from EXACT integer
+    // micro-sums (round(v*1e6) per component, integer-summed — order-free),
+    // and the per-point squared distance is integer-ized per ROW
+    // (round(d2*1e8)) before the final integer sum, so no double
+    // accumulation order can differ between engines.
     QueryDef("q34_label_centroid_dist",
       (s, d) => {
         val e = T.load(s, d, "embeddings")
-        // mean vector per label via posexplode + exact int index grouping
         val exploded = e.select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         val centroids = exploded.groupBy(col("label"), col("pos"))
-          .agg((sum(col("v").cast("double")) / count(lit(1))).as("c"))
-        // avg within-label squared distance to centroid, via join on label+pos
-        exploded.join(centroids, Seq("label", "pos"))
-          .withColumn("d2", (col("v").cast("double") - col("c")) *
-            (col("v").cast("double") - col("c")))
+          .agg(sum(round(col("v").cast("double") * 1000000, 0).cast("long"))
+            .as("s6"), count(lit(1)).as("cnt"))
+        val vd = col("v").cast("double")
+        exploded.join(broadcast(centroids), Seq("label", "pos"))
+          .withColumn("c", col("s6").cast("double") / (col("cnt") * lit(1000000.0)))
+          .withColumn("d2e8",
+            round((vd - col("c")) * (vd - col("c")) * 100000000, 0).cast("long"))
           .groupBy(col("label"))
-          .agg(count(lit(1)).as("n_points"),
-            round(sum(col("d2")), 2).as("sum_d2"))
+          .agg(count(lit(1)).as("n_points"), sum(col("d2e8")).as("sum_d2_e8"))
           .orderBy(col("label"))
       },
-      None), // double-sum accumulation order differs; rows-only
+      Some("""WITH ex AS (SELECT label, vec_id,
+          unnest(embedding) AS v,
+          unnest(generate_series(0, len(embedding) - 1)) AS pos
+        FROM embeddings),
+      cen AS (SELECT label, pos,
+          CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s6,
+          count(*) AS cnt
+        FROM ex GROUP BY label, pos),
+      j AS (SELECT ex.label, CAST(ex.v AS DOUBLE) AS vd,
+          s6 / (cnt * 1000000.0) AS c
+        FROM ex JOIN cen ON ex.label = cen.label AND ex.pos = cen.pos)
+      SELECT label, count(*) AS n_points,
+        CAST(sum(CAST(round((vd - c) * (vd - c) * 100000000, 0) AS BIGINT)) AS BIGINT) AS sum_d2_e8
+      FROM j GROUP BY label ORDER BY label""")),
 
     // -------------------- LSH random-hyperplane bucketing (ANN scale path)
     QueryDef("q35_ann_lsh_buckets",
       (s, d) => lshBuckets(s, T.load(s, d, "embeddings")),
       None),
 
-    // ------------- embedding-cosine near-duplicate pairs (exact, blocked
-    // by label — the IVF-style partition key; at 100 TB the blocking key
-    // is the coarse quantizer cell, so the pairwise stage stays bounded)
+    // ------------- embedding-cosine near-duplicate pairs, LSH-blocked.
+    // Candidate generation: 16 deterministic random-hyperplane sign bits,
+    // banded into 2 x 8-bit chunks; docs sharing a (band, chunk) bucket
+    // (bucket size capped at 64 against degenerate cells) become candidate
+    // pairs, then exact-cosine verified. The hyperplane components come
+    // from a pure-integer LCG hash so the SAME blocking is computable by
+    // the DuckDB oracle — recall is the banded-LSH recall by construction
+    // on both engines, making the approximate operator exactly checkable.
+    // At 100 TB this is the scale path: one narrow signature projection,
+    // one bounded bucket self-join — never an all-pairs block.
     QueryDef("q40_embedding_neardup",
-      (s, d) => {
-        val e = T.load(s, d, "embeddings")
-        val a = e.select(col("vec_id").as("vec_a"), col("label"),
-          col("embedding").as("emb_a"))
-        val b = e.select(col("vec_id").as("vec_b"),
-          col("label"), col("embedding").as("emb_b"))
-        a.join(b, Seq("label"))
-          .filter(col("vec_a") < col("vec_b"))
-          .withColumn("cosine", round(
-            dot(col("emb_a"), col("emb_b")) /
-              (norm(col("emb_a")) * norm(col("emb_b"))), 4))
-          .filter(col("cosine") >= 0.25)
-          .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
-          .orderBy(col("vec_a"), col("vec_b"))
-      },
-      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          a.label AS label,
-          round(
-            list_sum(list_transform(list_zip(a.embedding, b.embedding),
-              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
-            (sqrt(list_sum(list_transform(a.embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-             sqrt(list_sum(list_transform(b.embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(
-            list_sum(list_transform(list_zip(a.embedding, b.embedding),
-              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
-            (sqrt(list_sum(list_transform(a.embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-             sqrt(list_sum(list_transform(b.embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.25
-        ORDER BY vec_a, vec_b"""))
+      (s, d) => neardupLsh(s, T.load(s, d, "embeddings")),
+      Some(neardupOracle))
   )
+
+  /** Integer-LCG hyperplane component, identical formula on both engines:
+    * h(p,j) = ((1103515245*(p*131+j) + 12345) mod 2000001 - 10^6) / 10^6.
+    */
+  private def lcgComp(plane: Int, j: Column): Column =
+    (pmod(lit(1103515245L) * (lit(plane) * 131 + j) + 12345L,
+      lit(2000001L)) - lit(1000000L)) / lit(1000000.0)
+
+  /** LSH-blocked near-duplicate pairs with exact cosine verification. */
+  def neardupLsh(s: SparkSession, e: DataFrame): DataFrame = {
+    val bits = NdPlanes / NdBands
+    val sigBits = (0 until NdPlanes).map { p =>
+      val proj = round(aggregate(zip_with(
+        col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (v, j) => v.cast("double") * lcgComp(p, j)),
+        lit(0.0), (acc, x) => acc + x), 9)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    val sig = e.select(col("vec_id"), sigBits.reduce(_ + _).as("sig"))
+    val banded = sig.select(col("vec_id"),
+      explode(array((0 until NdBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bits)
+            .bitwiseAND((1L << bits) - 1).as("chunk"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.chunk"))
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band", "chunk")))
+      .filter(col("bn") <= NdBucketCap)
+    // candidate pairs stay NARROW (ids only) through distinct; embeddings
+    // re-join after — the shuffle moves 16-byte pairs, not 256-byte vectors
+    val a = banded.select(col("vec_id").as("vec_a"), col("band"), col("chunk"))
+    val b = banded.select(col("vec_id").as("vec_b"), col("band"), col("chunk"))
+    val cand = a.join(b, Seq("band", "chunk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .withColumn("cosine", round(
+        dot(col("emb_a"), col("emb_b")) /
+          (norm(col("emb_a")) * norm(col("emb_b"))), 4))
+      .filter(col("cosine") >= NdThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** DuckDB mirror of neardupLsh — same LCG hyperplanes, banding, bucket
+    * cap and cosine verify, generated per-plane.
+    */
+  private lazy val neardupOracle: String = {
+    val bits = NdPlanes / NdBands
+    val projTerms = (0 until NdPlanes).map { p =>
+      s"""(CASE WHEN round(list_sum(list_transform(
+         |    list_zip(embedding, generate_series(0, len(embedding) - 1)),
+         |    x -> CAST(x[1] AS DOUBLE) *
+         |      ((CAST(1103515245 AS BIGINT) * ($p * 131 + x[2]) + 12345)
+         |        % 2000001 - 1000000) / 1000000.0)), 9) >= 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" +\n")
+    val cos =
+      """round(
+        |      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(ea.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(eb.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)""".stripMargin
+    s"""WITH s AS (
+       |  SELECT vec_id, $projTerms AS sig FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, band,
+       |    (sig // ${s"CAST(power(2, band * $bits) AS BIGINT)"}) % ${1L << bits} AS chunk
+       |  FROM s, (SELECT unnest([${(0 until NdBands).mkString(", ")}]) AS band)),
+       |sized AS (
+       |  SELECT *, count(*) OVER (PARTITION BY band, chunk) AS bn FROM banded),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+       |  WHERE a.bn <= $NdBucketCap AND b.bn <= $NdBucketCap)
+       |SELECT vec_a, vec_b, $cos AS cosine
+       |FROM cand
+       |JOIN embeddings ea ON ea.vec_id = vec_a
+       |JOIN embeddings eb ON eb.vec_id = vec_b
+       |WHERE $cos >= $NdThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   /** Deterministic "random" hyperplanes: component h_ij of hyperplane i is
     * a hash-derived value in [-1, 1) from (i, j) — reproducible with no RNG

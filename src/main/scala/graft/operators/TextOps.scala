@@ -119,15 +119,21 @@ object TextOps {
       },
       Some(langIdOracle)),
 
-    // -------------------------------- fingerprint: deterministic digest
+    // -------------------------------- fingerprint: deterministic digests —
+    // md5 over the salted record + a polynomial ROLLING hash of the text
+    // (the Karp-Rabin fold (acc*31 + ascii) % 1000003; replaced round 1's
+    // crc32, absent from DuckDB 1.0, so this is now fully oracle-backed)
     QueryDef("q30_fingerprints",
       (s, d) => T.load(s, d, "documents")
         .select(col("doc_id"),
           md5(concat_ws("|", col("lang"), col("source"), col("text")))
             .as("fingerprint"),
-          crc32(col("text")).as("crc"))
+          Dedup.polyHash(col("text")).as("rolling_hash"))
         .orderBy(col("doc_id")),
-      None), // crc32 not in DuckDB 1.0 — rows-only
+      Some(s"""SELECT doc_id,
+        md5(concat_ws('|', lang, source, text)) AS fingerprint,
+        ${Dedup.polyHashSql("text")} AS rolling_hash
+        FROM documents ORDER BY doc_id""")),
 
     // ---------------------------- corpus term stats: top-5 terms per lang
     QueryDef("q41_term_freq",
