@@ -23,7 +23,12 @@ import org.apache.spark.sql.streaming.Trigger
   * Example:
   *   spark-submit --class graft.SubmitMain --master yarn \
   *     --num-executors N playeractionspark.jar \
-  *     stream s3://bucket/events s3://bucket/spadl s3://bucket/ck
+  *     stream s3a://bucket/events s3a://bucket/spadl s3a://bucket/ck
+  *
+  * Object-store paths work end to end: the exactly-once sink's commit
+  * ledger goes through the Hadoop FileSystem resolved from the output URI
+  * (one marker file per batch, no append/rename), so s3a:// and hdfs://
+  * behave like file://.
   */
 object SubmitMain {
   def main(args: Array[String]): Unit = {

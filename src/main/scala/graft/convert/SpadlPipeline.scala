@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   * flatMap over the scan partitions, so the plan scales linearly with input
   * splits at any cluster size.
   */
+/** Deterministic winner when one event has several keypass rows (e.g. both
+  * 'key' and 'assisst'): prefer 'assisst' over 'key' over anything else,
+  * ties by string. Used by BOTH the batch path (collect_list order is
+  * nondeterministic) and the streaming path (stream-stream join delivery
+  * order is nondeterministic) so batch == stream bitwise parity holds.
+  */
+object KpWinner {
+  def rank(pt: String): Int = pt match {
+    case "assisst" => 0 // sic, R/opta_events.R:96
+    case "key" => 1
+    case _ => 2
+  }
+  def pick(a: String, b: String): String =
+    if (rank(a) < rank(b) || (rank(a) == rank(b) && a <= b)) a else b
+  def pickAll(pts: Seq[String]): String = pts.reduce(pick)
+}
+
 object SpadlPipeline {
 
   /** Keypass tuple carried per doc after the side-stream aggregation. */
@@ -33,8 +50,8 @@ object SpadlPipeline {
     val gameId = docId.toInt
     TokenCodec.decode(tokens) match {
       case TokenCodec.OptaGame(home, wires) =>
-        val byEvent: Map[Int, String] =
-          kps.groupBy(_.event_id).map { case (k, v) => k -> v.head.pass_type }
+        val byEvent: Map[Int, String] = kps.groupBy(_.event_id)
+          .map { case (k, v) => k -> KpWinner.pickAll(v.map(_.pass_type)) }
         val raws = wires.map { w =>
           val r = TokenCodec.toOptaRaw(gameId, home, w)
           byEvent.get(w.event_id) match {
@@ -93,7 +110,8 @@ object SpadlPipeline {
     withKp.filter(_.source == "opta").flatMap { d =>
       val gameId = d.doc_id.toInt
       val byEvent: Map[Int, String] = d.kps.getOrElse(Nil)
-        .groupBy(_.event_id).map { case (k, v) => k -> v.head.pass_type }
+        .groupBy(_.event_id)
+        .map { case (k, v) => k -> KpWinner.pickAll(v.map(_.pass_type)) }
       TokenCodec.decode(d.tokens) match {
         case TokenCodec.OptaGame(home, wires) =>
           wires.zipWithIndex.map { case (w, i) =>

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Exactly-once sink keyed (doc_id/game_id, action_idx) — the engine
   * analogue of the reference's composite-`_id` idempotent Mongo insert
@@ -14,21 +15,32 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *
   * Protocol: each micro-batch writes to its own `batch_id=<id>` partition
   * directory with Overwrite (a re-delivered batch after restart rewrites
-  * the SAME directory — byte-idempotent), then appends the id to a commit
-  * ledger. Readers take only committed partitions, so a crash between
-  * write and commit is invisible. Rows carry `spark_partition_id` as
-  * per-partition lineage.
+  * the SAME directory — byte-idempotent), then drops an empty marker file
+  * `_commits/<id>`. Readers take only committed partitions, so a crash
+  * between write and commit is invisible. Rows carry `spark_partition_id`
+  * as per-partition lineage.
+  *
+  * The commit ledger goes through the Hadoop FileSystem API resolved from
+  * `outDir`, so the sink works on file://, hdfs:// and s3a:// alike; the
+  * one-empty-file-per-batch layout needs neither append (absent on S3A)
+  * nor rename, making each commit a single idempotent PUT.
   */
 final class ExactlyOnceSink(outDir: String) extends Serializable {
 
-  private def ledger = Paths.get(outDir, "_committed")
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
-  def committedBatchIds(): Set[Long] =
-    if (Files.exists(ledger))
-      scala.jdk.CollectionConverters.ListHasAsScala(
-        Files.readAllLines(ledger)).asScala
-        .filter(_.nonEmpty).map(_.toLong).toSet
-    else Set.empty
+  private def commitsDir = new Path(outDir, "_commits")
+
+  def committedBatchIds(): Set[Long] = {
+    val fs = commitsDir.getFileSystem(hadoopConf)
+    if (!fs.exists(commitsDir)) Set.empty
+    else fs.listStatus(commitsDir).toSet[org.apache.hadoop.fs.FileStatus]
+      .map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+  }
 
   /** foreachBatch body. */
   def write(batch: DataFrame, batchId: Long): Unit = {
@@ -41,16 +53,17 @@ final class ExactlyOnceSink(outDir: String) extends Serializable {
       .dropDuplicates("game_id", "action_idx")
     withLineage.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/batch_id=$batchId")
-    Files.createDirectories(Paths.get(outDir))
-    Files.writeString(ledger, s"$batchId\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val fs = commitsDir.getFileSystem(hadoopConf)
+    fs.mkdirs(commitsDir)
+    fs.create(new Path(commitsDir, batchId.toString), true).close()
   }
 
   /** Committed view of the sink (what a downstream reader consumes). */
-  def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val ids = committedBatchIds()
-    val dirs = ids.toSeq.sorted.map(id => s"$outDir/batch_id=$id")
-      .filter(d => Files.exists(Paths.get(d)))
+  def read(spark: SparkSession): DataFrame = {
+    val fs = commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = committedBatchIds().toSeq.sorted
+      .map(id => new Path(outDir, s"batch_id=$id"))
+      .filter(fs.exists).map(_.toString)
     if (dirs.isEmpty)
       spark.emptyDataFrame
     else

@@ -260,6 +260,12 @@ object SpadlStream {
     var provider = buf0.provider
     var home = buf0.home
     val fresh = Vector.newBuilder[BufEvent]
+    // multi-keypass merge: a second join row for an already-seen seq (e.g.
+    // 'key' AND 'assisst' for one event) upgrades the stored pass_type by
+    // KpWinner precedence — delivery ORDER no longer decides the flag, so
+    // the stream matches the batch path bitwise. Safe: join matches are
+    // always released before the 31s emission lag lets the action emit.
+    val kpUpgrade = scala.collection.mutable.Map.empty[Int, String]
     var dropped = 0L
     rows.foreach { e =>
       // truly-late drop: the event's region is already emitted AND its
@@ -272,11 +278,26 @@ object SpadlStream {
         provider = e.provider
         home = e.home_team_id
         fresh += BufEvent(e.seq, e.event_time.getTime, e.group, e.pass_type)
+      } else e.pass_type.foreach { t =>
+        kpUpgrade(e.seq) =
+          kpUpgrade.get(e.seq).map(graft.convert.KpWinner.pick(_, t)).getOrElse(t)
       }
     }
     lateCounter.foreach(_.add(dropped))
     val freshV = fresh.result()
-    val events = prior ++ freshV
+    val events0 = prior ++ freshV
+    val events =
+      if (kpUpgrade.isEmpty) events0
+      else events0.map { ev =>
+        kpUpgrade.get(ev.seq) match {
+          case Some(t) =>
+            val merged = ev.pass_type
+              .map(graft.convert.KpWinner.pick(_, t)).getOrElse(t)
+            if (ev.pass_type.contains(merged)) ev
+            else ev.copy(pass_type = Some(merged))
+          case None => ev
+        }
+      }
     if (events.isEmpty) return Iterator.empty // all late, no prior state
     val frontier = math.max(buf0.frontierTs, wm - emissionLagMs)
 

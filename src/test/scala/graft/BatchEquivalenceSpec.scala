@@ -41,6 +41,22 @@ class BatchEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-keypass winner is order-independent (assisst beats key)") {
+    import graft.convert.KpWinner
+    val g = FixtureGen.corpus(4, 150).filter(_.keypasses.nonEmpty).head
+    val ev = g.keypasses.head.event_id
+    // duplicate keypass rows for ONE event, opposite delivery orders
+    val extraA = SpadlPipeline.Kp(ev, "key") +: SpadlPipeline.Kp(ev, "assisst") +:
+      g.keypasses.map(k => SpadlPipeline.Kp(k.event_id, k.pass_type))
+    val extraB = extraA.reverse
+    val a = SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens, extraA)
+    val b = SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens, extraB)
+    assert(a == b, "keypass winner depends on delivery order")
+    assert(KpWinner.pick("key", "assisst") == "assisst")
+    assert(KpWinner.pick("assisst", "key") == "assisst")
+    assert(KpWinner.pickAll(Seq("zz", "key")) == "key")
+  }
+
   test("Catalyst conversion plan: single exchange by game, codegen'd") {
     import spark.implicits._
     val games = FixtureGen.corpus(4, 60).filter(_.doc.source == "opta")
