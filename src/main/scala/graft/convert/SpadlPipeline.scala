@@ -89,6 +89,42 @@ object SpadlPipeline {
     withKp.flatMap(d => convertDoc(d.doc_id, d.tokens, d.kps.getOrElse(Nil)))
   }
 
+  /** Flat InStat event row — input of the declarative Catalyst conversion
+    * (InstatConvertBatch); `seq` is the 0-based document position.
+    */
+  final case class InstatFlatEvent(
+      game_id: Int, home_team_id: Int, seq: Int,
+      id: Int, half: Int, second: Double, team_id: Int, player_id: Int,
+      position_id: Int, action_id: Int, generic_action_type_id: Int,
+      standart_id: Int, attack_status_id: Int, outcome: Boolean,
+      body_id: Int, pos_x: Double, pos_y: Double,
+      pos_dest_x: Option[Double], pos_dest_y: Option[Double],
+      action_name: String)
+
+  /** Decode InStat docs into a FLAT raw-event Dataset (one row per event,
+    * with `seq` for stable ordering) — the input of the declarative
+    * Catalyst conversion path (InstatConvertBatch).
+    */
+  def decodeInstatEvents(spark: SparkSession,
+      docs: Dataset[TokenDoc]): Dataset[InstatFlatEvent] = {
+    import spark.implicits._
+    docs.filter(_.source == "instat").flatMap { d =>
+      TokenCodec.decode(d.tokens) match {
+        case TokenCodec.InstatGame(home, wires) =>
+          val gameId = d.doc_id.toInt
+          wires.zipWithIndex.map { case (w, i) =>
+            val r = TokenCodec.toInstatRaw(w)
+            InstatFlatEvent(gameId, home, i, r.id, r.half, r.second,
+              r.team_id, r.player_id, r.position_id, r.action_id,
+              r.generic_action_type_id, r.standart_id, r.attack_status_id,
+              r.outcome, r.body_id, r.pos_x, r.pos_y,
+              r.pos_dest_x, r.pos_dest_y, r.action_name)
+          }
+        case _ => Vector.empty
+      }
+    }
+  }
+
   /** Decode Opta docs into a FLAT raw-event Dataset (one row per event,
     * with `seq` for stable ordering) — the input of the declarative
     * Catalyst conversion path (OptaConvertBatch).

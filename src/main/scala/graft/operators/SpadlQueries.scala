@@ -60,6 +60,18 @@ object SpadlQueries {
             Some(kp.as[graft.model.KeypassRow])).toDF())
           .orderBy(col("game_id"), col("action_idx"))
       }, None),
+    // the InStat twin of spadl_actions_catalyst: declarative Catalyst
+    // conversion (InstatConvertBatch) property-tested equal to the typed
+    // core InstatGameConverter
+    QueryDef("spadl_actions_catalyst_instat",
+      (s, _) => {
+        import s.implicits._
+        val (docs, _) = corpus(s)
+        graft.convert.InstatConvertBatch.toSpadl(
+          SpadlPipeline.decodeInstatEvents(s,
+            docs.as[graft.model.TokenDoc]).toDF())
+          .orderBy(col("game_id"), col("action_idx"))
+      }, None),
     QueryDef("spadl_atomic",
       (s, _) => graft.convert.AtomicConvert.toAtomic(actions(s))
         .orderBy(col("game_id"), col("atomic_idx")), None),

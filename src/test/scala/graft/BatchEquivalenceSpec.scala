@@ -1,6 +1,7 @@
 package graft
 
-import graft.convert.{OptaConvertBatch, SpadlPipeline}
+import graft.convert.{InstatConvertBatch, InstatGameConverter, OptaConvertBatch, SpadlPipeline}
+import graft.codec.TokenCodec
 import graft.fixtures.FixtureGen
 import graft.model.{SpadlAction, TokenDoc}
 import org.apache.spark.sql.SparkSession
@@ -39,6 +40,46 @@ class BatchEquivalenceSpec extends AnyFunSuite {
     got.zip(truth).foreach { case (a, b) =>
       assert(a == b, s"mismatch at (${b.game_id}, ${b.action_idx})")
     }
+  }
+
+  test("Catalyst InStat conversion == per-game core on the fixture corpus") {
+    import spark.implicits._
+    val games = FixtureGen.corpus(24, 200).filter(_.doc.source == "instat")
+    assert(games.nonEmpty, "fixture corpus has no instat games")
+    val docs = spark.createDataset(games.map(_.doc))
+
+    val truth: Seq[SpadlAction] = games.flatMap { g =>
+      TokenCodec.decode(g.doc.tokens) match {
+        case TokenCodec.InstatGame(home, wires) =>
+          InstatGameConverter.convert(g.doc.doc_id.toInt, home,
+            wires.map(TokenCodec.toInstatRaw))
+        case _ => Vector.empty
+      }
+    }.sortBy(a => (a.game_id, a.action_idx))
+
+    val got = InstatConvertBatch.toSpadl(
+      SpadlPipeline.decodeInstatEvents(spark, docs).toDF())
+      .as[SpadlAction].collect().toSeq
+      .sortBy(a => (a.game_id, a.action_idx))
+
+    assert(got.size == truth.size,
+      s"row count got=${got.size} want=${truth.size}")
+    got.zip(truth).foreach { case (a, b) =>
+      assert(a == b, s"mismatch at (${b.game_id}, ${b.action_idx}):\n  got=$a\n want=$b")
+    }
+  }
+
+  test("Catalyst InStat plan: single exchange by game") {
+    import spark.implicits._
+    val games = FixtureGen.corpus(8, 80).filter(_.doc.source == "instat")
+    val docs = spark.createDataset(games.map(_.doc))
+    val df = InstatConvertBatch.toSpadl(
+      SpadlPipeline.decodeInstatEvents(spark, docs).toDF())
+    df.collect()
+    val planFull = df.queryExecution.executedPlan.toString
+    val plan = planFull.split("== Initial Plan ==")(0)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$plan")
   }
 
   test("multi-keypass winner is order-independent (assisst beats key)") {

@@ -256,4 +256,55 @@ class StreamingSpec extends AnyFunSuite {
       s"resume row count got=${got.size} want=${truth.size}")
     got.zip(truth).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("InStat state is bounded by game size and closes on timeout") {
+    // InStat emits only on session close (quirk Q4 forces whole-frame
+    // result attribution), so its state is O(game) per key — this pins the
+    // bound: buffered rows never exceed the game's event count, duplicate
+    // deliveries don't grow it, and the event-time timeout flushes the
+    // full valued game and REMOVES the state.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val g = FixtureGen.corpus(24, 200).find(_.doc.source == "instat").get
+    val events = SpadlStream.toStreamEvents(g.doc, Base)
+    val n = events.size
+    val fn = SpadlStream.stateFn(600000L, 0L, None) _
+
+    var stateOpt: Option[SpadlStream.GameBuf] = None
+    var wm = 0L
+    val slices = events.grouped(math.max(1, n / 4)).toSeq
+    slices.foreach { slice =>
+      val st = TestGroupState.create[SpadlStream.GameBuf](
+        stateOpt.map(Optional.of[SpadlStream.GameBuf])
+          .getOrElse(Optional.empty[SpadlStream.GameBuf]()),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of(wm), false)
+      val out = fn(g.doc.doc_id, slice.iterator, st).toVector
+      assert(out.isEmpty, "instat must not emit before session close")
+      assert(st.exists, "state must persist between batches")
+      val buf = st.get
+      assert(buf.size <= n, s"state ${buf.size} exceeds game size $n")
+      assert(st.getTimeoutTimestampMs.isPresent, "timeout must be set")
+      stateOpt = Some(buf)
+      wm = slice.map(_.event_time.getTime).max
+    }
+    assert(stateOpt.get.size == n) // all events buffered, none beyond
+
+    // duplicate redelivery of a full slice: state must NOT grow
+    val stDup = TestGroupState.create[SpadlStream.GameBuf](
+      Optional.of(stateOpt.get), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(wm), false)
+    assert(fn(g.doc.doc_id, slices.head.iterator, stDup).isEmpty)
+    assert(stDup.get.size == n, "duplicate delivery grew the state")
+
+    // timeout: full valued game flushes, state removed
+    val stTo = TestGroupState.create[SpadlStream.GameBuf](
+      Optional.of(stDup.get), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(wm + 600001L), true)
+    val flushed = fn(g.doc.doc_id, Iterator.empty, stTo).toVector
+    assert(stTo.isRemoved, "state must be removed on session close")
+    val truth = batchTruth(Seq(g))
+    assert(flushed.sortBy(key) == truth.sortBy(key),
+      s"timeout flush ${flushed.size} rows != batch truth ${truth.size}")
+  }
 }
