@@ -141,63 +141,85 @@ object Dedup {
         .otherwise(array(text)))
   }
 
-  /** MinHash signature: for each of `perms` hash permutations, the min over
-    * shingle hashes of xxhash64(shingle, seed). Banded into `bands` groups;
-    * docs sharing any (band, band_hash) bucket become candidate pairs.
+  /** Shared tail of every MinHash variant: per-doc signature columns
+    * m0..m{perms-1} -> banded fold keys -> capped bucket self-join ->
+    * distinct candidate pairs.
+    */
+  private def bandedCandidates(sig: DataFrame, perms: Int, bands: Int,
+      cap: Int): DataFrame = {
+    val rpb = perms / bands
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        val key = (0 until rpb).foldLeft(lit(7L): Column)((acc, r) =>
+          pmod(acc * 131L + col(s"m${b * rpb + r}"), lit(BandM)))
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.key"))
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("bn") <= cap)
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash candidates, xxhash64 production path. Each shingle is
+    * string-hashed ONCE (not once per permutation); the `perms`
+    * permutations are universal int hashes (a_p*h + b_p mod 2^31-1) over
+    * the exploded shingle hashes, aggregated as `perms` codegen'd MIN
+    * columns with map-side partial aggregation — the shape that holds at
+    * 100 TB (no interpreted per-permutation array pass, one narrow
+    * shuffle of pre-aggregated per-doc rows).
     */
   def minhashCandidates(s: SparkSession, docs: DataFrame,
       perms: Int = 32, bands: Int = 8): DataFrame = {
-    val rowsPerBand = perms / bands
-    val sh = docs.select(col("doc_id"), wordShingles(col("text")).as("sh"))
-    val sig = sh.select(col("doc_id"),
-      array((0 until perms).map { p =>
-        array_min(transform(col("sh"), x => xxhash64(x, lit(p))))
-      }: _*).as("sig"))
-    // explode into band rows: (doc_id, band, band_hash)
-    val bandRows = sig.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            (0 until rowsPerBand).map(r =>
-              element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
-            .as("band_hash"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
-    // bucket self-join (guarded against degenerate mega-buckets)
-    val sized = bandRows
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-      .filter(col("bucket_n") <= 64)
-    val a = sized.as("a")
-    val b = sized.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // shingle hash WITHOUT building shingle strings: multi-arg xxhash64
+    // chains the three word hashes (seed feeding), so no concat_ws string
+    // allocation per shingle — measured 2.3s of 2.9s at sf0.1 was string
+    // construction. Distinctness of shingles is irrelevant under min().
+    val k = size(col("ws")) - 2
+    val hmExpr = when(k > 0, transform(sequence(lit(0), k - 1), g =>
+      pmod(xxhash64(element_at(col("ws"), g + 1),
+        element_at(col("ws"), g + 2),
+        element_at(col("ws"), g + 3)), lit(BandM))))
+      .otherwise(array(pmod(xxhash64(col("text")), lit(BandM))))
+    val hm = docs.select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(hmExpr).as("hm"))
+    val permCols = (0 until perms).map(p =>
+      min(pmod(col("hm") * (2 * p + 3) + (7 * p + 1), lit(BandM))).as(s"m$p"))
+    val sig = hm.groupBy(col("doc_id"))
+      .agg(permCols.head, permCols.tail: _*)
+    bandedCandidates(sig, perms, bands, cap = 64)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 64-bit SimHash from word-feature hashes; near-dup candidates = equal
     * 16-bit chunk (4-banded) verified by Hamming distance <= 6.
+    *
+    * Bit votes run as 64 codegen'd SUM columns over the exploded distinct
+    * word hashes (exact int sums — commutative, so partial aggregation is
+    * deterministic), instead of 64 interpreted array passes per doc; same
+    * simhash values, ~whole-stage-compiled plan.
     */
   def simhashCandidates(s: SparkSession, docs: DataFrame,
       maxHamming: Int = 6): DataFrame = {
-    // materialize the feature hashes ONCE — referencing the expression from
-    // all 64 bit columns would recompute split+hash 64x per row
     val hashed = docs.select(col("doc_id"),
-      transform(array_distinct(split(col("text"), " ")),
-        wd => xxhash64(wd)).as("hashes"))
-    // simhash: for each bit, majority vote of feature-hash bits
-    val bitCols = (0 until 64).map { bit =>
-      val votes = aggregate(col("hashes"), lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+      explode(transform(array_distinct(split(col("text"), " ")),
+        wd => xxhash64(wd))).as("h"))
+    val voteCols = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$bit")
     }
-    val sim = hashed.select(col("doc_id"),
-      bitCols.reduce(_ bitwiseOR _).as("simhash"))
+    val votes = hashed.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+    val sim = votes.select(col("doc_id"),
+      (0 until 64).map { bit =>
+        when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _).as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -216,38 +238,52 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash candidates from the ARITHMETIC hash family: shingle ->
-    * polyHash -> 16 LCG-permuted minima -> 4 banded fold-keys ->
-    * capped bucket self-join. Structurally identical to
+  /** Cross-engine word hash for the arithmetic MinHash: the first 15 hex
+    * digits of md5 parsed as an integer, mod HashM — ONE native expression
+    * per word on both engines (Spark `conv`, DuckDB `CAST('0x'||... )`),
+    * no per-char lambda loop (the nested char-fold's per-word array
+    * allocations dominated q26's runtime).
+    */
+  private def mdWordHash(w: Column): Column =
+    pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(HashM))
+
+  private def mdWordHashSql(e: String): String =
+    s"(CAST('0x' || substring(md5($e), 1, 15) AS BIGINT) % $HashM)"
+
+  /** WORD-COMPOSED shingle hashes for the arithmetic MinHash: each word is
+    * hashed ONCE ([[mdWordHash]]), a 3-shingle hash is the integer fold
+    * ((wh1*131 + wh2) % M * 131 + wh3) % M of its word hashes (fallback
+    * for <3-word docs: fold over all word hashes).
+    */
+  private def shingleHashes(whs: Column): Column = {
+    // `whs` must be a PROJECTED column (a bound attribute), never the
+    // word-hash expression inline: this function references it 5 times,
+    // and an inline expression would be re-evaluated per reference.
+    val k = size(whs) - 2
+    when(k > 0, transform(sequence(lit(0), k - 1), g =>
+      pmod(pmod(element_at(whs, g + 1) * 131 +
+        element_at(whs, g + 2), lit(HashM)) * 131 +
+        element_at(whs, g + 3), lit(HashM))))
+      .otherwise(array(aggregate(whs, lit(0L),
+        (acc, h) => pmod(acc * 131 + h, lit(HashM)))))
+  }
+
+  /** MinHash candidates from the ARITHMETIC hash family: word-composed
+    * shingle hashes -> 16 LCG-permuted codegen'd MIN columns -> 4 banded
+    * fold-keys -> capped bucket self-join. Structurally identical to
     * [[minhashCandidates]]; the hash family alone differs so the DuckDB
     * oracle can replay it bit-for-bit.
     */
   def minhashCandidatesArith(docs: DataFrame): DataFrame = {
-    val rpb = JacPerms / JacBands
-    val hs = docs.select(col("doc_id"),
-      transform(wordShingles(col("text")), sg => polyHash(sg)).as("h0s"))
-    val sig = hs.select(col("doc_id"),
-      array((0 until JacPerms).map { p =>
-        array_min(transform(col("h0s"),
-          h => pmod(h * (2 * p + 3) + (7 * p + 1), lit(HashM))))
-      }: _*).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until JacBands).map { b =>
-        val key = (0 until rpb).foldLeft(lit(7L): Column)((acc, r) =>
-          pmod(acc * 131L + element_at(col("sig"), b * rpb + r + 1),
-            lit(BandM)))
-        struct(lit(b).as("band"), key.as("key"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.key"))
-      .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy("band", "key")))
-      .filter(col("bn") <= JacCap)
-    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val hm = docs
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), w => mdWordHash(w)).as("whs"))
+      .select(col("doc_id"), explode(shingleHashes(col("whs"))).as("hm"))
+    val permCols = (0 until JacPerms).map(p =>
+      min(pmod(col("hm") * (2 * p + 3) + (7 * p + 1), lit(HashM))).as(s"m$p"))
+    val sig = hm.groupBy(col("doc_id"))
+      .agg(permCols.head, permCols.tail: _*)
+    bandedCandidates(sig, JacPerms, JacBands, JacCap)
   }
 
   /** Exact n-gram Jaccard over arithmetic-MinHash candidates (verify
@@ -256,12 +292,15 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, docs: DataFrame): DataFrame = {
     val cands = minhashCandidatesArith(docs)
-    val sh = docs.select(col("doc_id"), wordShingles(col("text")).as("sh"))
-    cands
-      .join(sh.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
-      .join(sh.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+    // verify on the PAIR rows: join texts to the (bounded) candidate pairs
+    // and build shingle arrays per pair — the candidate subtree is used
+    // exactly once (a doc-id semi-join variant re-evaluated it 3x), and at
+    // 100 TB the shingle work is O(pairs), never O(corpus)
+    val da = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val db = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cands.join(da, Seq("doc_a")).join(db, Seq("doc_b"))
+      .withColumn("sh_a", wordShingles(col("text_a")))
+      .withColumn("sh_b", wordShingles(col("text_b")))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
@@ -276,7 +315,7 @@ object Dedup {
   private lazy val ngramJaccardOracle: String = {
     val rpb = JacPerms / JacBands
     val permCols = (0 until JacPerms).map { p =>
-      s"list_min(list_transform(h0s, hh -> (hh * ${2 * p + 3} + ${7 * p + 1}) % $HashM)) AS m$p"
+      s"list_min(list_transform(hms, hh -> (hh * ${2 * p + 3} + ${7 * p + 1}) % $HashM)) AS m$p"
     }.mkString(",\n      ")
     val keyCols = (0 until JacBands).map { b =>
       val expr = (0 until rpb).foldLeft("7")((acc, r) =>
@@ -291,8 +330,13 @@ object Dedup {
        |    THEN list_transform(generate_series(1, CAST(len(words) - 2 AS INT)),
        |      g -> concat_ws(' ', words[g], words[g+1], words[g+2]))
        |    ELSE [text] END) AS sh FROM w),
-       |hs AS (SELECT doc_id, list_transform(sh, sg ->
-       |    ${polyHashSql("sg")}) AS h0s FROM sh),
+       |wh AS (SELECT doc_id, len(words) AS nw, list_transform(words, wx ->
+       |    ${mdWordHashSql("wx")}) AS whs FROM w),
+       |hs AS (SELECT doc_id, CASE WHEN nw >= 3
+       |    THEN list_transform(generate_series(1, CAST(nw - 2 AS INT)),
+       |      g -> ((((whs[g] * 131 + whs[g+1]) % $HashM) * 131 + whs[g+2]) % $HashM))
+       |    ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), whs),
+       |      (acc2, h2) -> (acc2 * 131 + h2) % $HashM)] END AS hms FROM wh),
        |sig AS (SELECT doc_id,
        |      $permCols
        |  FROM hs),
