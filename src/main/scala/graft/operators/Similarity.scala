@@ -130,24 +130,38 @@ object Similarity {
       Some(neardupOracle))
   )
 
-  /** Integer-LCG hyperplane component, identical formula on both engines:
-    * h(p,j) = ((1103515245*(p*131+j) + 12345) mod 2000001 - 10^6) / 10^6.
+  /** Integer-LCG hyperplane component (scaled by 10^6), identical formula
+    * on both engines: c(p,j) = (1103515245*(p*131+j) + 12345) mod 2000001
+    * - 10^6, an integer in [-10^6, 10^6].
     */
-  private def lcgComp(plane: Int, j: Column): Column =
-    (pmod(lit(1103515245L) * (lit(plane) * 131 + j) + 12345L,
-      lit(2000001L)) - lit(1000000L)) / lit(1000000.0)
+  private def lcgCompInt(plane: Int, j: Column): Column =
+    pmod(lit(1103515245L) * (lit(plane) * 131 + j) + 12345L,
+      lit(2000001L)) - lit(1000000L)
 
-  /** LSH-blocked near-duplicate pairs with exact cosine verification. */
+  /** LSH-blocked near-duplicate pairs with exact cosine verification.
+    *
+    * The sign projections are EXACT INTEGER sums: each component becomes
+    * the micro-int round(v*1e6) and each hyperplane component stays the
+    * raw LCG integer, so proj = sum(vi * c) is commutative (max |term|
+    * 2e13, 64 terms — no overflow) — which makes the 16 projections
+    * codegen'd SUM columns over one posexplode (map-side partials, no
+    * interpreted per-plane array pass) with zero floating-point
+    * sign-boundary risk against the oracle.
+    */
   def neardupLsh(s: SparkSession, e: DataFrame): DataFrame = {
     val bits = NdPlanes / NdBands
-    val sigBits = (0 until NdPlanes).map { p =>
-      val proj = round(aggregate(zip_with(
-        col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-        (v, j) => v.cast("double") * lcgComp(p, j)),
-        lit(0.0), (acc, x) => acc + x), 9)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    val sig = e.select(col("vec_id"), sigBits.reduce(_ + _).as("sig"))
+    val ex = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        round(col("v").cast("double") * 1000000, 0).cast("long").as("vi"))
+    val projCols = (0 until NdPlanes).map(p =>
+      sum(col("vi") * lcgCompInt(p, col("pos"))).as(s"s$p"))
+    val sig0 = ex.groupBy(col("vec_id"))
+      .agg(projCols.head, projCols.tail: _*)
+    val sig = sig0.select(col("vec_id"),
+      (0 until NdPlanes).map(p =>
+        when(col(s"s$p") >= 0, lit(1L << p)).otherwise(0L))
+        .reduce(_ + _).as("sig"))
     val banded = sig.select(col("vec_id"),
       explode(array((0 until NdBands).map { b =>
         struct(lit(b).as("band"),
@@ -183,11 +197,11 @@ object Similarity {
   private lazy val neardupOracle: String = {
     val bits = NdPlanes / NdBands
     val projTerms = (0 until NdPlanes).map { p =>
-      s"""(CASE WHEN round(list_sum(list_transform(
+      s"""(CASE WHEN CAST(list_sum(list_transform(
          |    list_zip(embedding, generate_series(0, len(embedding) - 1)),
-         |    x -> CAST(x[1] AS DOUBLE) *
+         |    x -> CAST(round(CAST(x[1] AS DOUBLE) * 1000000, 0) AS BIGINT) *
          |      ((CAST(1103515245 AS BIGINT) * ($p * 131 + x[2]) + 12345)
-         |        % 2000001 - 1000000) / 1000000.0)), 9) >= 0
+         |        % 2000001 - 1000000))) AS BIGINT) >= 0
          |  THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" +\n")
     val cos =
