@@ -113,7 +113,7 @@ object Similarity {
     // -------------------- LSH random-hyperplane bucketing (ANN scale path)
     QueryDef("q35_ann_lsh_buckets",
       (s, d) => lshBuckets(s, T.load(s, d, "embeddings")),
-      None),
+      Some(lshBucketsOracle)),
 
     // ------------- embedding-cosine near-duplicate pairs, LSH-blocked.
     // Candidate generation: 16 deterministic random-hyperplane sign bits,
@@ -148,20 +148,39 @@ object Similarity {
     * interpreted per-plane array pass) with zero floating-point
     * sign-boundary risk against the oracle.
     */
-  def neardupLsh(s: SparkSession, e: DataFrame): DataFrame = {
-    val bits = NdPlanes / NdBands
+  /** (vec_id, sig): `planes` integer-LCG sign bits per vector, computed as
+    * codegen'd SUM columns over one posexplode (exact integer projections,
+    * see [[neardupLsh]]).
+    */
+  def intLshSignature(e: DataFrame, planes: Int): DataFrame = {
     val ex = e.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"),
         round(col("v").cast("double") * 1000000, 0).cast("long").as("vi"))
-    val projCols = (0 until NdPlanes).map(p =>
+    val projCols = (0 until planes).map(p =>
       sum(col("vi") * lcgCompInt(p, col("pos"))).as(s"s$p"))
-    val sig0 = ex.groupBy(col("vec_id"))
+    ex.groupBy(col("vec_id"))
       .agg(projCols.head, projCols.tail: _*)
-    val sig = sig0.select(col("vec_id"),
-      (0 until NdPlanes).map(p =>
-        when(col(s"s$p") >= 0, lit(1L << p)).otherwise(0L))
-        .reduce(_ + _).as("sig"))
+      .select(col("vec_id"),
+        (0 until planes).map(p =>
+          when(col(s"s$p") >= 0, lit(1L << p)).otherwise(0L))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** DuckDB twin of [[intLshSignature]]'s `sig` expression. */
+  private def intLshSigSql(planes: Int): String =
+    (0 until planes).map { p =>
+      s"""(CASE WHEN CAST(list_sum(list_transform(
+         |    list_zip(embedding, generate_series(0, len(embedding) - 1)),
+         |    x -> CAST(round(CAST(x[1] AS DOUBLE) * 1000000, 0) AS BIGINT) *
+         |      ((CAST(1103515245 AS BIGINT) * ($p * 131 + x[2]) + 12345)
+         |        % 2000001 - 1000000))) AS BIGINT) >= 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" +\n")
+
+  def neardupLsh(s: SparkSession, e: DataFrame): DataFrame = {
+    val bits = NdPlanes / NdBands
+    val sig = intLshSignature(e, NdPlanes)
     val banded = sig.select(col("vec_id"),
       explode(array((0 until NdBands).map { b =>
         struct(lit(b).as("band"),
@@ -196,14 +215,7 @@ object Similarity {
     */
   private lazy val neardupOracle: String = {
     val bits = NdPlanes / NdBands
-    val projTerms = (0 until NdPlanes).map { p =>
-      s"""(CASE WHEN CAST(list_sum(list_transform(
-         |    list_zip(embedding, generate_series(0, len(embedding) - 1)),
-         |    x -> CAST(round(CAST(x[1] AS DOUBLE) * 1000000, 0) AS BIGINT) *
-         |      ((CAST(1103515245 AS BIGINT) * ($p * 131 + x[2]) + 12345)
-         |        % 2000001 - 1000000))) AS BIGINT) >= 0
-         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
-    }.mkString(" +\n")
+    val projTerms = intLshSigSql(NdPlanes)
     val cos =
       """round(
         |      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
@@ -233,26 +245,24 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** Deterministic "random" hyperplanes: component h_ij of hyperplane i is
-    * a hash-derived value in [-1, 1) from (i, j) — reproducible with no RNG
-    * state, computable on both engines if ever needed.
+  /** ANN bucket summary from the shared integer-LCG signature (8 planes ->
+    * up to 256 buckets). Deterministic and DuckDB-replayable — see
+    * [[lshBucketsOracle]]; at 100 TB the bucketed table would be WRITTEN
+    * partitioned by `bucket` so probes are partition-pruned scans.
     */
-  def lshBuckets(s: SparkSession, e: DataFrame, nPlanes: Int = 8): DataFrame = {
-    def comp(plane: Int, j: Column): Column =
-      (pmod(xxhash64(lit(plane), j), lit(2000001L)).cast("double") -
-        lit(1000000.0)) / lit(1000000.0)
-    val sigBits = (0 until nPlanes).map { p =>
-      val proj = aggregate(zip_with(
-        col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-        (v, j) => v.cast("double") * comp(p, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    val sig = e.select(col("vec_id"), col("label"),
-      sigBits.reduce(_ bitwiseOR _).as("bucket"))
-    sig.groupBy(col("bucket"))
+  def lshBuckets(s: SparkSession, e: DataFrame, nPlanes: Int = 8): DataFrame =
+    intLshSignature(e, nPlanes)
+      .withColumnRenamed("sig", "bucket")
+      .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"),
         min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
       .orderBy(col("bucket"))
-  }
+
+  /** DuckDB mirror of [[lshBuckets]] at 8 planes. */
+  private lazy val lshBucketsOracle: String =
+    s"""WITH s AS (SELECT vec_id, ${intLshSigSql(8)} AS bucket
+       |  FROM embeddings)
+       |SELECT bucket, count(*) AS n_vectors,
+       |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+       |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin
 }
