@@ -110,6 +110,23 @@ class AtomicAndPlanSpec extends AnyFunSuite {
       !p2.contains("l_returnflag"), "q02 must prune unused columns")
   }
 
+  test("plan: documents/embeddings scans prune columns and push filters") {
+    val q27 = SparkEntry.queries("q27_token_counts")(spark,
+      "/root/testdata/sf0.001")
+    val p27 = q27.queryExecution.executedPlan.toString
+    // token counting touches (source, text) only — lang/n_chars must not
+    // survive into the parquet ReadSchema
+    assert(p27.contains("ReadSchema") && !p27.contains("n_chars"),
+      s"q27 must prune n_chars from the documents scan")
+    val q33 = SparkEntry.queries("q33_cosine_topk")(spark,
+      "/root/testdata/sf0.001")
+    val p33 = q33.queryExecution.executedPlan.toString
+    assert(p33.contains("PushedFilters") && p33.contains("vec_id"),
+      "q33's query-vector filter must reach the embeddings scan")
+    assert(p33.contains("TakeOrderedAndProject"),
+      "q33 top-k must be a TakeOrdered, not a global sort")
+  }
+
   test("plan: valuation = 3 window passes over ONE exchange+sort") {
     import spark.implicits._
     val df = spark.createDataset(Seq(act(1), act(2))).toDF()
