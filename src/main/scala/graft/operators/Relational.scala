@@ -469,6 +469,58 @@ object Relational {
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY status, priority""")),
 
+    // ----------------------- CUBE: full marginal lattice in one pass
+    QueryDef("q44_cube",
+      (s, d) => T.load(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_cents"))
+        .orderBy(col("status"), col("priority")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS n,
+          CAST(round(sum(o_totalprice * 100), 0) AS BIGINT) AS total_cents
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ------------- exact interpolated percentiles (sort-based aggregate)
+    QueryDef("q45_percentiles",
+      (s, d) => T.load(s, d, "lineitem")
+        .withColumn("qty", col("l_quantity").cast("long"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("qty"), lit(0.5)), 6).as("med_qty"),
+          round(percentile(col("qty"), lit(0.9)), 6).as("p90_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+          round(quantile_cont(CAST(l_quantity AS BIGINT), 0.5), 6) AS med_qty,
+          round(quantile_cont(CAST(l_quantity AS BIGINT), 0.9), 6) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // --------------------- pivot: lang distribution per source (wide agg)
+    QueryDef("q46_pivot",
+      (s, d) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        T.load(s, d, "documents")
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+          .na.fill(0L, langs)
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source,
+          count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+          count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+          count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+          count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+          count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ---------------- A1+J7+W11: player-index analog (flagship report)
     QueryDef("q20_user_index",
       (s, d) => {

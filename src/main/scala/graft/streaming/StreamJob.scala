@@ -42,7 +42,11 @@ object StreamJob {
     events.repartition(parts, pmod(hash(col("doc_id"), col("seq")), lit(parts)))
 
   /** Start the full job: events stream -> valued actions -> exactly-once
-    * parquet sink, resumable from `checkpointDir`.
+    * sink, resumable from `checkpointDir`. An `outDir` of the form
+    * `iceberg:<catalog.db.table>` routes each micro-batch through
+    * [[IcebergMergeSink]] (cluster path, requires a configured Iceberg
+    * catalog); any filesystem URI uses [[ExactlyOnceSink]] (parquet +
+    * commit markers over the Hadoop FileSystem).
     */
   def start(spark: SparkSession, events: Dataset[SpadlStream.StreamEvent],
       outDir: String, checkpointDir: String,
@@ -51,7 +55,14 @@ object StreamJob {
       sessionGap: String = "10 minutes",
       trigger: Trigger = Trigger.AvailableNow(),
       saltParts: Option[Int] = None): StreamingQuery = {
-    val sink = new ExactlyOnceSink(outDir)
+    val sinkWrite: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      if (outDir.startsWith("iceberg:")) {
+        val merge = new IcebergMergeSink(outDir.stripPrefix("iceberg:"))
+        merge.write
+      } else {
+        val sink = new ExactlyOnceSink(outDir)
+        sink.write
+      }
     // optional salted spread of the STATELESS stage for hot-source input
     // skew; the stateful stage re-keys by doc_id, so correctness is
     // unaffected (asserted by the slicing-equivalence tests)
@@ -64,7 +75,7 @@ object StreamJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch((batch: Dataset[ValuedAction], batchId: Long) =>
-        sink.write(batch.toDF(), batchId))
+        sinkWrite(batch.toDF(), batchId))
       .start()
   }
 }

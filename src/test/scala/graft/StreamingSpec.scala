@@ -257,6 +257,44 @@ class StreamingSpec extends AnyFunSuite {
     got.zip(truth).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("IcebergMergeSink: MERGE statement parses; write refuses w/o catalog") {
+    val sink = new graft.streaming.IcebergMergeSink("lake.graft.spadl")
+    val sql = sink.mergeSql("src_view")
+    // the statement must be valid Spark SQL (parser-level check — no
+    // Iceberg runtime in this sandbox, execution is cluster-only)
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    assert(plan.toString.toLowerCase.contains("merge"))
+    assert(sql.contains("t.game_id = s.game_id") &&
+      sql.contains("t.action_idx = s.action_idx") &&
+      sql.contains("WHEN NOT MATCHED THEN INSERT *"))
+    import spark.implicits._
+    val df = spark.createDataset(batchTruth(
+      FixtureGen.corpus(1, 40).map(_.copy(keypasses = Nil)))).toDF()
+    val err = intercept[IllegalArgumentException](sink.write(df, 0L))
+    assert(err.getMessage.contains("catalog 'lake' is not configured"))
+  }
+
+  test("stream multi-keypass rows: winner independent of delivery order") {
+    // one event with BOTH 'key' and 'assisst' outcome rows: the stream-
+    // stream join delivers two match rows; KpWinner precedence (not
+    // delivery order) must decide, and the result must equal the batch
+    // path, which dedups the collect_list the same way.
+    val g0 = FixtureGen.corpus(4, 100)
+      .find(x => x.doc.source == "opta" && x.keypasses.nonEmpty).get
+    val k0 = g0.keypasses.head
+    val extra = k0.copy(
+      pass_type = if (k0.pass_type == "key") "assisst" else "key")
+    val gA = g0.copy(keypasses = g0.keypasses :+ extra)
+    val gB = g0.copy(keypasses = extra +: g0.keypasses)
+    val truth = batchTruth(Seq(gA)).sortBy(key)
+    assert(truth == batchTruth(Seq(gB)).sortBy(key),
+      "batch winner must be order-independent")
+    val gotA = runStream(Seq(gA), 5, withKeypass = true).sortBy(key)
+    val gotB = runStream(Seq(gB), 5, withKeypass = true).sortBy(key)
+    assert(gotA == truth, "stream (order A) != batch truth")
+    assert(gotB == truth, "stream (order B) != batch truth")
+  }
+
   test("InStat state is bounded by game size and closes on timeout") {
     // InStat emits only on session close (quirk Q4 forces whole-frame
     // result attribution), so its state is O(game) per key — this pins the
