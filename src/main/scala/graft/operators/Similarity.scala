@@ -115,6 +115,16 @@ object Similarity {
       (s, d) => lshBuckets(s, T.load(s, d, "embeddings")),
       Some(lshBucketsOracle)),
 
+    // -------------------- ANN probe: the bucketed SEARCH path — the query
+    // vector's signature selects ONE bucket, exact cosine ranks only that
+    // bucket's members. At 100 TB the signature table is written
+    // partitioned by bucket, so this is a partition-pruned scan + a
+    // broadcast of one row (multi-probe = also scan the Hamming-1
+    // neighbour buckets; single-probe here keeps the oracle 1:1).
+    QueryDef("q47_ann_probe",
+      (s, d) => annProbe(T.load(s, d, "embeddings")),
+      Some(annProbeOracle)),
+
     // ------------- embedding-cosine near-duplicate pairs, LSH-blocked.
     // Candidate generation: 16 deterministic random-hyperplane sign bits,
     // banded into 2 x 8-bit chunks; docs sharing a (band, chunk) bucket
@@ -265,4 +275,53 @@ object Similarity {
        |SELECT bucket, count(*) AS n_vectors,
        |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
        |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Bucketed ANN search with MULTI-PROBE: exact-cosine top-k restricted
+    * to the query vector's LSH bucket plus its 8 Hamming-1 neighbour
+    * buckets (same 8-plane signature as [[lshBuckets]]) — the standard
+    * recall-vs-scan-cost knob; the 9-row probe table broadcasts.
+    */
+  def annProbe(e: DataFrame, queryVecId: Long = 0, k: Int = 10): DataFrame = {
+    val sig = intLshSignature(e, 8)
+    val qSig = sig.filter(col("vec_id") === queryVecId)
+      .select(col("sig").as("q_sig"))
+    val probes = qSig.select(explode(array(
+      col("q_sig") +: (0 until 8).map(b =>
+        col("q_sig").bitwiseXOR(lit(1L << b))): _*)).as("p_sig"))
+    val qEmb = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    sig.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probes), col("sig") === col("p_sig"))
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(qEmb))
+      .withColumn("cosine", round(
+        dot(col("embedding"), col("q_emb")) /
+          (norm(col("embedding")) * norm(col("q_emb"))), 4))
+      .select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[annProbe]] (query vec 0, k = 10, 8 planes,
+    * Hamming-1 multi-probe).
+    */
+  private lazy val annProbeOracle: String = {
+    val probeList = ("q_sig" +: (0 until 8).map(b =>
+      s"xor(q_sig, ${1L << b})")).mkString(", ")
+    s"""WITH s AS (SELECT vec_id, ${intLshSigSql(8)} AS sig FROM embeddings),
+       |q AS (SELECT sig AS q_sig FROM s WHERE vec_id = 0),
+       |probes AS (SELECT unnest([$probeList]) AS p_sig FROM q),
+       |qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, round(
+       |    list_sum(list_transform(list_zip(e.embedding, q_emb),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(e.embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(q_emb,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+       |FROM s JOIN probes ON s.sig = probes.p_sig
+       |JOIN embeddings e ON e.vec_id = s.vec_id, qe
+       |WHERE s.vec_id <> 0
+       |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+  }
 }
