@@ -32,12 +32,13 @@ object Features {
 
   private val w = Window.partitionBy("game_id").orderBy("action_idx")
 
-  /** a0/a1/a2 lag triple of an expression. */
-  private def lag3(c: Column, name: String): Seq[(String, Column)] = Seq(
-    s"${name}_a0" -> c,
-    s"${name}_a1" -> lag(c, 1).over(w),
-    s"${name}_a2" -> lag(c, 2).over(w)
-  )
+  /** a0..a{n-1} lag family of an expression (the reference's delegated
+    * builder parametrizes this as `nb_prev_actions`, default 3 — the
+    * in-repo R twin features_old.R hardcodes the default).
+    */
+  private def lagsN(c: Column, name: String, n: Int): Seq[(String, Column)] =
+    (0 until n).map(i =>
+      s"${name}_a$i" -> (if (i == 0) c else lag(c, i).over(w)))
 
   /** Feature-frame coordinates: re-flip for team != home
     * (features_old.R:153-169).
@@ -50,7 +51,11 @@ object Features {
     * `dt[, lapply(.SD, as.numeric)]` (R/spadl.R:97), keyed by
     * (game_id, event_id, action_idx).
     */
-  def trainingFrame(actions: DataFrame, withLabels: Boolean = true): DataFrame = {
+  def trainingFrame(actions: DataFrame, withLabels: Boolean = true,
+      nbPrevActions: Int = 3, nrActions: Int = 10): DataFrame = {
+    require(nbPrevActions >= 1 && nrActions >= 1,
+      s"nbPrevActions/nrActions must be >= 1")
+    def lag3(c: Column, name: String) = lagsN(c, name, nbPrevActions)
     val flip = col("team_id") =!= col("home_team_id")
     val sx = featCoord(col("start_x"), SpadlConfig.FieldLength, flip)
     val sy = featCoord(col("start_y"), SpadlConfig.FieldWidth, flip)
@@ -109,24 +114,27 @@ object Features {
     cols ++= lag3(angle(sx, sy), "start_angle_to_goal")
     cols ++= lag3(dist(ex, ey), "end_dist_to_goal")
     cols ++= lag3(angle(ex, ey), "end_angle_to_goal")
-    cols += "team_1" -> (col("team_id") === lag(col("team_id"), 1).over(w))
-    cols += "team_2" -> (col("team_id") === lag(col("team_id"), 2).over(w))
+    (1 until nbPrevActions).foreach { i =>
+      cols += s"team_$i" -> (col("team_id") === lag(col("team_id"), i).over(w))
+    }
     cols ++= lag3(ex - sx, "dx")
     cols ++= lag3(ey - sy, "dy")
     cols ++= lag3(sqrt((ex - sx) * (ex - sx) + (ey - sy) * (ey - sy)), "movement")
-    cols += "time_delta_1" -> (timeSec - lag(timeSec, 1).over(w))
-    cols += "time_delta_2" -> (timeSec - lag(timeSec, 2).over(w))
-    // space deltas: previous end - current start (features_old.R:272-303)
-    cols += "dx_a01" -> (lag(ex, 1).over(w) - sx)
-    cols += "dy_a01" -> (lag(ey, 1).over(w) - sy)
-    cols += "dx_a02" -> (lag(ex, 2).over(w) - sx)
-    cols += "dy_a02" -> (lag(ey, 2).over(w) - sy)
-    cols += "mov_a01" -> sqrt(
-      (lag(ex, 1).over(w) - sx) * (lag(ex, 1).over(w) - sx) +
-        (lag(ey, 1).over(w) - sy) * (lag(ey, 1).over(w) - sy))
-    cols += "mov_a02" -> sqrt(
-      (lag(ex, 2).over(w) - sx) * (lag(ex, 2).over(w) - sx) +
-        (lag(ey, 2).over(w) - sy) * (lag(ey, 2).over(w) - sy))
+    (1 until nbPrevActions).foreach { i =>
+      cols += s"time_delta_$i" -> (timeSec - lag(timeSec, i).over(w))
+    }
+    // space deltas: previous end - current start (features_old.R:272-303);
+    // column order preserved from the fixed-3 builder: dx/dy pairs first,
+    // then the movement norms
+    (1 until nbPrevActions).foreach { i =>
+      cols += s"dx_a0$i" -> (lag(ex, i).over(w) - sx)
+      cols += s"dy_a0$i" -> (lag(ey, i).over(w) - sy)
+    }
+    (1 until nbPrevActions).foreach { i =>
+      cols += s"mov_a0$i" -> sqrt(
+        (lag(ex, i).over(w) - sx) * (lag(ex, i).over(w) - sx) +
+          (lag(ey, i).over(w) - sy) * (lag(ey, i).over(w) - sy))
+    }
     cols += "goalscore_team" -> gsTeam
     cols += "goalscore_opponent" -> gsOpp
     cols += "goalscore_diff" -> (gsTeam - gsOpp)
@@ -136,14 +144,14 @@ object Features {
 
     if (withLabels) {
       // labels_old.R:18-51 — SQL OR's ternary logic == R's `|` NA logic
-      val scores = (1 to 9).foldLeft(isGoal: Column) { (acc, k) =>
+      val scores = (1 until nrActions).foldLeft(isGoal: Column) { (acc, k) =>
         acc ||
           (lag(isGoal, -k).over(w) &&
             (lag(col("team_id"), -k).over(w) === col("team_id"))) ||
           (lag(isOwngoal, -k).over(w) &&
             (lag(col("team_id"), -k).over(w) =!= col("team_id")))
       }
-      val concedes = (1 to 9).foldLeft(isOwngoal: Column) { (acc, k) =>
+      val concedes = (1 until nrActions).foldLeft(isOwngoal: Column) { (acc, k) =>
         acc || lag(isOwngoal, -k).over(w)
       }
       cols += "scores" -> scores
@@ -157,6 +165,32 @@ object Features {
     val keyed = Seq("game_id", "event_id", "action_idx").map(col) ++
       cols.map { case (n, c) => c.cast("double").as(n) }
     actions.select(keyed: _*).na.drop()
+  }
+
+  /** Mirror of the reference's `Spadl$get_model_data(nb_prev_actions,
+    * nr_actions, labels, add_predictions)` (R/spadl.R:72-145): the
+    * feature+label frame, and — like the reference with
+    * `add_predictions = TRUE` — the `scores`/`concedes` label columns
+    * REPLACED by the committed model's predicted probabilities
+    * (R/spadl.R:132-135; the valued SPADL side is [[graft.vaep.Valuation]]).
+    */
+  def modelData(actions: DataFrame, nbPrevActions: Int = 3,
+      nrActions: Int = 10, labels: Boolean = true,
+      addPredictions: Boolean = true): DataFrame = {
+    val tf = trainingFrame(actions, labels, nbPrevActions, nrActions)
+    if (!addPredictions) tf
+    else {
+      val preds = graft.vaep.Valuation.value(actions)
+        .select(col("game_id").as("p_game_id"),
+          col("action_idx").as("p_action_idx"),
+          col("scores").as("p_scores"), col("concedes").as("p_concedes"))
+      tf.drop("scores", "concedes")
+        .join(preds, tf("game_id") === col("p_game_id") &&
+          tf("action_idx") === col("p_action_idx"))
+        .drop("p_game_id", "p_action_idx")
+        .withColumnRenamed("p_scores", "scores")
+        .withColumnRenamed("p_concedes", "concedes")
+    }
   }
 
   /** SPADL columns excluded from the numeric cast / NA-drop key set. */

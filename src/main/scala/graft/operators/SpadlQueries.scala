@@ -41,6 +41,12 @@ object SpadlQueries {
     QueryDef("spadl_training_frame",
       (s, _) => Features.trainingFrame(actions(s))
         .orderBy(col("game_id"), col("action_idx")), None),
+    // get_model_data(add_predictions = TRUE) analogue: feature frame with
+    // scores/concedes replaced by the committed model's probabilities
+    // (R/spadl.R:72-145)
+    QueryDef("spadl_model_data",
+      (s, _) => Features.modelData(actions(s))
+        .orderBy(col("game_id"), col("action_idx")), None),
     QueryDef("spadl_player_index",
       (s, _) => Valuation.value(actions(s))
         .groupBy(col("player_id"))

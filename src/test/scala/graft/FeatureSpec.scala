@@ -45,6 +45,66 @@ class FeatureSpec extends AnyFunSuite {
     Features.trainingFrame(spark.createDataset(as).toDF())
   }
 
+  test("parametrized lags: nbPrevActions=5 emits a0..a4 with correct shifts") {
+    import spark.implicits._
+    val as = (1 to 8).map(i => act(i, minute = i)) ++ pad(9, 9)
+    val f5 = Features.trainingFrame(spark.createDataset(as).toDF(),
+      withLabels = true, nbPrevActions = 5, nrActions = 10)
+    assert(f5.columns.count(_.startsWith("type_id_a")) == 5)
+    assert(f5.columns.contains("team_4") && f5.columns.contains("dx_a04") &&
+      f5.columns.contains("time_delta_4"))
+    // deeper lag horizon drops more leading rows to NA
+    val rows = f5.collect().map(r =>
+      r.getAs[Number]("action_idx").intValue() -> r).toMap
+    assert(!rows.contains(4) && rows.contains(5),
+      s"rows 1-4 must be NA-dropped at 5 lags, have ${rows.keys.toSeq.sorted}")
+    // a4 at row i == a0 of row i-4 (time_seconds varies per row: minute*60)
+    val r9 = rows(9)
+    assert(r9.getAs[Double]("time_seconds_a4") ==
+      rows(5).getAs[Double]("time_seconds_a0"))
+    assert(r9.getAs[Double]("time_seconds_a4") == 5 * 60.0)
+  }
+
+  test("parametrized labels: nrActions bounds the scoring horizon") {
+    import spark.implicits._
+    // goal by team 10 at idx 12; probe at idx 3 (9 ahead => within 10, not 2)
+    val as = (1 to 11).map(i => act(i, minute = i, team = 10)) :+
+      act(12, minute = 12, team = 10, tn = "shot", rn = "success",
+        typeId = 11) // goal
+    val padded = as ++ pad(13, 13)
+    def labelAt(nr: Int): Double = {
+      val f = Features.trainingFrame(spark.createDataset(padded).toDF(),
+        withLabels = true, nbPrevActions = 3, nrActions = nr)
+      f.collect().map(r =>
+        r.getAs[Number]("action_idx").intValue() ->
+          r.getAs[Double]("scores")).toMap.apply(3)
+    }
+    assert(labelAt(10) == 1.0, "goal 9 ahead must score at nr=10")
+    assert(labelAt(2) == 0.0, "goal 9 ahead must NOT score at nr=2")
+  }
+
+  test("modelData: addPredictions replaces labels with model probabilities") {
+    import spark.implicits._
+    val as = (1 to 10).map(i => act(i, minute = i)) ++ pad(11, 11)
+    val df = spark.createDataset(as).toDF()
+    val md = Features.modelData(df)
+    val preds = graft.vaep.Valuation.value(df)
+      .select($"action_idx", $"scores", $"concedes")
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    md.select($"action_idx", $"scores", $"concedes").collect().foreach { r =>
+      val i = r.getAs[Number](0).intValue()
+      assert(r.getDouble(1) == preds(i)._1 && r.getDouble(2) == preds(i)._2,
+        s"modelData probabilities must match Valuation at idx $i")
+      assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0,
+        "probability, not a 0/1 label")
+    }
+    // labels=TRUE, addPredictions=FALSE keeps the 0/1 labels
+    val lbl = Features.modelData(df, addPredictions = false)
+      .select($"scores").distinct().collect().map(_.getDouble(0)).toSet
+    assert(lbl.subsetOf(Set(0.0, 1.0)))
+  }
+
   test("drop_na removes the first two rows of each game (lag NAs)") {
     val as = (1 to 6).map(i => act(i, minute = i))
     val f = frameRows(as ++ pad(7, 7))
