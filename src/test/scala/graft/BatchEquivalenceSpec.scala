@@ -69,6 +69,119 @@ class BatchEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("Catalyst InStat == core on handcrafted edge cases") {
+    import spark.implicits._
+    import graft.model.InstatRawEvent
+    val Home = 30; val Away = 40
+    def ev(id: Int, actionId: Int, sec: Double, team: Int = Home,
+        half: Int = 1, gat: Int = 0, std: Int = 1, attack: Int = 0,
+        outcome: Boolean = true, dx: Option[Double] = Some(60.0),
+        dy: Option[Double] = Some(35.0)): InstatRawEvent =
+      InstatRawEvent(id, half, sec, team, team * 100 + 1, 5, actionId, gat,
+        std, attack, outcome, 1, 50, 30, dx, dy,
+        graft.model.InstatConfig.actionName(actionId))
+    def pad(sec: Double) = Seq(ev(9801, 1011, sec, gat = 1),
+      ev(9802, 18000, sec + 5, gat = 18))
+
+    val cases: Seq[(Int, Seq[InstatRawEvent])] = Seq(
+      // freekick candidate at ROW 0: R drops the -1 predecessor index, so
+      // the alignment shifts by 2 (Case B of the misalignment filter)
+      100 -> (Seq(
+        ev(1, 1011, 0, std = 3, attack = 1, gat = 1), // fk1 AT ROW 0
+        ev(2, 1011, 10, gat = 1),
+        ev(3, 1011, 20, std = 4, attack = 1, gat = 1), // fk2
+        ev(4, 27000, 30, gat = 27), // ball-out precedes fk3
+        ev(5, 1011, 40, std = 3, attack = 1, gat = 1), // fk3
+        ev(6, 1011, 50, gat = 1),
+        ev(7, 1011, 60, std = 3, attack = 1, gat = 1), // fk4
+        ev(8, 1011, 70, gat = 1)) ++ pad(80)),
+      // single-event game: Q4 drops the only row -> empty output
+      101 -> Seq(ev(1, 1011, 0, gat = 1)),
+      // all non-action rows
+      102 -> Seq(ev(1, 18000, 0, gat = 18), ev(2, 18000, 5, gat = 18),
+        ev(3, 18000, 9, gat = 18)),
+      // time ties across extractor ranks (Q3 double-tag + tackle + pass +
+      // goal, all at the same second -> stable-sort order is rank-driven)
+      103 -> (Seq(ev(1, 21000, 10), ev(2, 2052, 10), ev(3, 1011, 10, gat = 1),
+        ev(4, 8010, 10, gat = 4)) ++ pad(20)),
+      // away flips + clearances with missing end positions (incl. one
+      // whose "next start" is itself flipped, and a last-row fill)
+      104 -> (Seq(ev(1, 9000, 0, team = Away, dx = None, dy = None),
+        ev(2, 1011, 5, gat = 1),
+        ev(3, 9000, 10, dx = None, dy = None)) ++ pad(15)))
+
+    cases.foreach { case (gid, evs) =>
+      val truth = graft.convert.InstatGameConverter.convert(gid, Home, evs)
+      val flat = evs.zipWithIndex.map { case (e, i) =>
+        SpadlPipeline.InstatFlatEvent(gid, Home, i, e.id, e.half, e.second,
+          e.team_id, e.player_id, e.position_id, e.action_id,
+          e.generic_action_type_id, e.standart_id, e.attack_status_id,
+          e.outcome, e.body_id, e.pos_x, e.pos_y, e.pos_dest_x,
+          e.pos_dest_y, e.action_name)
+      }
+      val got = InstatConvertBatch.toSpadl(spark.createDataset(flat).toDF())
+        .as[SpadlAction].collect().toSeq.sortBy(_.action_idx)
+      assert(got.size == truth.size,
+        s"case $gid rows got=${got.size} want=${truth.size}\n got=$got\nwant=$truth")
+      got.zip(truth).foreach { case (a, b) =>
+        assert(a.toString == b.toString,
+          s"case $gid mismatch:\n  got=$a\n want=$b")
+      }
+    }
+  }
+
+  test("Catalyst InStat == core on 40 seeded random games (tie-heavy)") {
+    import spark.implicits._
+    import graft.model.InstatRawEvent
+    val Home = 30; val Away = 40
+    val rnd = new scala.util.Random(20260816L)
+    val actVocab = Vector(1011, 1012, 21000, 2052, 2031, 6020, 9000, 10000,
+      7000, 13040, 13011, 8010, 8020, 3020, 3030, 3040, 5010, 26001, 27000,
+      18000)
+    def randEvents(n: Int): Vector[InstatRawEvent] =
+      (1 to n).map { i =>
+        val act = actVocab(rnd.nextInt(actVocab.size))
+        val noEnd = rnd.nextInt(3) == 0
+        val dx = if (noEnd) None else Some(rnd.nextInt(10500) / 100.0)
+        val dy = if (noEnd) None
+          else if (rnd.nextInt(8) == 0) None // mixed half-missing case
+          else Some(rnd.nextInt(6800) / 100.0)
+        val team = if (rnd.nextBoolean()) Home else Away
+        InstatRawEvent(i, 1 + rnd.nextInt(2),
+          rnd.nextInt(200).toDouble, // small range => frequent time ties
+          team, team * 100 + rnd.nextInt(11), if (rnd.nextInt(6) == 0) 31 else 5,
+          act, rnd.nextInt(28), 1 + rnd.nextInt(6), rnd.nextInt(2),
+          rnd.nextBoolean(), 1 + rnd.nextInt(5), rnd.nextInt(10500) / 100.0,
+          rnd.nextInt(6800) / 100.0, dx, dy,
+          graft.model.InstatConfig.actionName(act))
+      }.toVector
+    val games: Seq[(Int, Vector[InstatRawEvent])] =
+      (0 until 40).map(g => (500 + g) -> randEvents(rnd.nextInt(81)))
+    val flat = games.flatMap { case (gid, evs) =>
+      evs.zipWithIndex.map { case (e, i) =>
+        SpadlPipeline.InstatFlatEvent(gid, Home, i, e.id, e.half, e.second,
+          e.team_id, e.player_id, e.position_id, e.action_id,
+          e.generic_action_type_id, e.standart_id, e.attack_status_id,
+          e.outcome, e.body_id, e.pos_x, e.pos_y, e.pos_dest_x,
+          e.pos_dest_y, e.action_name)
+      }
+    }
+    val got = InstatConvertBatch.toSpadl(spark.createDataset(flat).toDF())
+      .as[SpadlAction].collect().toSeq
+      .groupBy(_.game_id).view.mapValues(_.sortBy(_.action_idx)).toMap
+    games.foreach { case (gid, evs) =>
+      val truth = graft.convert.InstatGameConverter.convert(gid, Home, evs)
+      val g = got.getOrElse(gid, Seq.empty)
+      assert(g.size == truth.size,
+        s"game $gid rows got=${g.size} want=${truth.size}")
+      // toString compare: case-class == is false on identical NaN fields
+      g.zip(truth).foreach { case (a, b) =>
+        assert(a.toString == b.toString,
+          s"game $gid mismatch:\n  got=$a\n want=$b")
+      }
+    }
+  }
+
   test("Catalyst InStat plan: single exchange by game") {
     import spark.implicits._
     val games = FixtureGen.corpus(8, 80).filter(_.doc.source == "instat")
