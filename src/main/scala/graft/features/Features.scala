@@ -52,7 +52,8 @@ object Features {
     * (game_id, event_id, action_idx).
     */
   def trainingFrame(actions: DataFrame, withLabels: Boolean = true,
-      nbPrevActions: Int = 3, nrActions: Int = 10): DataFrame = {
+      nbPrevActions: Int = 3, nrActions: Int = 10,
+      carry: Seq[(String, String)] = Nil): DataFrame = {
     require(nbPrevActions >= 1 && nrActions >= 1,
       s"nbPrevActions/nrActions must be >= 1")
     def lag3(c: Column, name: String) = lagsN(c, name, nbPrevActions)
@@ -163,7 +164,8 @@ object Features {
     // all-numeric coercion. na.drop treats NaN as missing, matching R's
     // is.na(NaN) == TRUE (model_data.R:23).
     val keyed = Seq("game_id", "event_id", "action_idx").map(col) ++
-      cols.map { case (n, c) => c.cast("double").as(n) }
+      cols.map { case (n, c) => c.cast("double").as(n) } ++
+      carry.map { case (src, out) => col(src).cast("double").as(out) }
     actions.select(keyed: _*).na.drop()
   }
 
@@ -177,17 +179,22 @@ object Features {
   def modelData(actions: DataFrame, nbPrevActions: Int = 3,
       nrActions: Int = 10, labels: Boolean = true,
       addPredictions: Boolean = true): DataFrame = {
-    val tf = trainingFrame(actions, labels, nbPrevActions, nrActions)
-    if (!addPredictions) tf
+    if (!addPredictions)
+      trainingFrame(actions, labels, nbPrevActions, nrActions)
     else {
-      val preds = graft.vaep.Valuation.value(actions)
-        .select(col("game_id").as("p_game_id"),
-          col("action_idx").as("p_action_idx"),
-          col("scores").as("p_scores"), col("concedes").as("p_concedes"))
-      tf.drop("scores", "concedes")
-        .join(preds, tf("game_id") === col("p_game_id") &&
-          tf("action_idx") === col("p_action_idx"))
-        .drop("p_game_id", "p_action_idx")
+      // NO join: value the actions first, then build the feature frame
+      // DIRECTLY on the valued rows, carrying the predicted
+      // scores/concedes through under temp names, and only then replace
+      // the label columns (the reference overwrites them with the
+      // probabilities AFTER the labels shaped the row set,
+      // R/spadl.R:132-135 — so the NA-drop still filters on labels). A
+      // join of the 165-column frame back onto a same-lineage predictions
+      // frame sent the optimizer's constraint propagation exponential —
+      // one linear plan instead.
+      trainingFrame(graft.vaep.Valuation.value(actions),
+        withLabels = labels, nbPrevActions, nrActions,
+        carry = Seq("scores" -> "p_scores", "concedes" -> "p_concedes"))
+        .drop("scores", "concedes")
         .withColumnRenamed("p_scores", "scores")
         .withColumnRenamed("p_concedes", "concedes")
     }

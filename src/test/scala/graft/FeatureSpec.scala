@@ -88,6 +88,10 @@ class FeatureSpec extends AnyFunSuite {
     val as = (1 to 10).map(i => act(i, minute = i)) ++ pad(11, 11)
     val df = spark.createDataset(as).toDF()
     val md = Features.modelData(df)
+    // row-count guard: a same-lineage join gone cartesian would still pass
+    // the per-row probability lookups below — count catches it
+    assert(md.count() == Features.trainingFrame(df).count(),
+      "modelData must be 1:1 with the training frame")
     val preds = graft.vaep.Valuation.value(df)
       .select($"action_idx", $"scores", $"concedes")
       .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
