@@ -34,6 +34,19 @@ class OracleLintSpec extends AnyFunSuite {
       s"\nHUGEINT trap — wrap these in CAST(... AS BIGINT):\n${bad.mkString("\n")}")
   }
 
+  test("no accumulation-order-sensitive aggregates in oracle SQL") {
+    // avg/stddev/var over doubles accumulate in engine-specific order —
+    // their low bits differ between Spark and DuckDB, so they can never
+    // appear in an oracle (use the cents trick / exact-int forms instead)
+    val banned = """(?i)\b(avg|stddev|stddev_samp|stddev_pop|var_samp|var_pop|variance|corr|covar_samp|covar_pop)\s*\(""".r
+    val bad = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      m <- banned.findAllMatchIn(sql)
+    } yield s"$name: `${m.matched.trim}`"
+    assert(bad.isEmpty,
+      s"\norder-sensitive aggregate in oracle SQL:\n${bad.mkString("\n")}")
+  }
+
   test("every query name in oracleSql exists in queries") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
