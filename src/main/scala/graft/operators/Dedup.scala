@@ -94,10 +94,14 @@ object Dedup {
       (s, d) => minhashCandidates(s, T.load(s, d, "documents")),
       None),
 
-    // ------------------------------------------------ SimHash near-dup
+    // ------------------------------------------------ SimHash near-dup.
+    // 64-bit word hashes come from md5 (60 bits from hex[1..15] + 4 from
+    // hex[16]) so the DuckDB oracle replays the identical signature;
+    // q24 keeps the engine-native xxhash64 family as the production
+    // showcase.
     QueryDef("q25_simhash",
       (s, d) => simhashCandidates(s, T.load(s, d, "documents")),
-      None),
+      Some(simhashOracle)),
 
     // ---------------------------- n-gram Jaccard verification of candidates.
     // Candidate generation here uses the ARITHMETIC MinHash twin (polynomial
@@ -109,6 +113,43 @@ object Dedup {
       (s, d) => ngramJaccard(s, T.load(s, d, "documents")),
       Some(ngramJaccardOracle))
   )
+
+  /** DuckDB mirror of [[simhashCandidates]] — same md5-derived 64-bit word
+    * hashes, bit votes, 16-bit banding, Hamming verify. Bit 63's weight is
+    * Long.MinValue on both engines (shiftleft wrap / literal BIGINT min),
+    * combined with bitwise OR so no signed addition can overflow.
+    */
+  private lazy val simhashOracle: String = {
+    val voteCols = (0 until 64).map { bit =>
+      val src = if (bit < 60) s"(h1 >> $bit)" else s"(h2 >> ${bit - 60})"
+      s"CAST(sum(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$bit"
+    }.mkString(",\n      ")
+    val simTerms = (0 until 64).map { bit =>
+      val weight = if (bit == 63) "CAST(-9223372036854775808 AS BIGINT)"
+        else s"CAST(${1L << bit} AS BIGINT)"
+      s"(CASE WHEN v$bit > 0 THEN $weight ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    s"""WITH wds AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS wd
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |    CAST('0x' || substring(md5(wd), 1, 15) AS BIGINT) AS h1,
+       |    CAST('0x' || substring(md5(wd), 16, 1) AS BIGINT) AS h2
+       |  FROM wds),
+       |votes AS (SELECT doc_id,
+       |      $voteCols
+       |  FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simTerms AS simhash FROM votes),
+       |banded AS (SELECT doc_id, simhash, band,
+       |    (simhash >> (band * 16)) & 65535 AS chunk
+       |  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Polynomial rolling hash of a string column: fold (acc*31 + ascii) mod
     * 1000003 over the characters, via split-to-chars — O(n), unlike a
@@ -209,10 +250,15 @@ object Dedup {
       maxHamming: Int = 6): DataFrame = {
     val hashed = docs.select(col("doc_id"),
       explode(transform(array_distinct(split(col("text"), " ")),
-        wd => xxhash64(wd))).as("h"))
+        wd => struct(
+          conv(substring(md5(wd), 1, 15), 16, 10).cast("long").as("h1"),
+          conv(substring(md5(wd), 16, 1), 16, 10).cast("long").as("h2"))))
+        .as("hh"))
+      .select(col("doc_id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"))
     val voteCols = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$bit")
+      val src = if (bit < 60) shiftright(col("h1"), bit)
+        else shiftright(col("h2"), bit - 60)
+      sum(when(src.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$bit")
     }
     val votes = hashed.groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)

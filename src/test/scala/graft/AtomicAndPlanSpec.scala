@@ -127,6 +127,28 @@ class AtomicAndPlanSpec extends AnyFunSuite {
       "q33 top-k must be a TakeOrdered, not a global sort")
   }
 
+  test("plan: modelData = stacked windows over ONE exchange by game") {
+    import spark.implicits._
+    val df = spark.createDataset(
+      FixtureGen.corpus(2, 60).map(_.doc)).toDF()
+    val actions = graft.convert.SpadlPipeline.convert(spark,
+      df.as[graft.model.TokenDoc]).toDF()
+    val md = graft.features.Features.modelData(actions)
+    md.collect()
+    val plan = md.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // valuation + feature windows all share the (game_id, action_idx)
+    // spec: exactly ONE hash-by-game exchange feeds every window pass —
+    // a join-based formulation would add exchanges (and blew up the
+    // optimizer's constraint propagation; see Features.modelData)
+    val gameExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(game_id"))
+    assert(gameExchanges == 1, s"expected 1 by-game exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "modelData must not contain a cross join")
+  }
+
   test("plan: valuation = 3 window passes over ONE exchange+sort") {
     import spark.implicits._
     val df = spark.createDataset(Seq(act(1), act(2))).toDF()
