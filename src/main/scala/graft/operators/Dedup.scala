@@ -248,13 +248,15 @@ object Dedup {
     */
   def simhashCandidates(s: SparkSession, docs: DataFrame,
       maxHamming: Int = 6): DataFrame = {
+    // explode plain words FIRST, hash in a flat projection: the md5 runs
+    // in whole-stage codegen with subexpression elimination (one digest
+    // per word), instead of building per-element structs inside an
+    // interpreted lambda
     val hashed = docs.select(col("doc_id"),
-      explode(transform(array_distinct(split(col("text"), " ")),
-        wd => struct(
-          conv(substring(md5(wd), 1, 15), 16, 10).cast("long").as("h1"),
-          conv(substring(md5(wd), 16, 1), 16, 10).cast("long").as("h2"))))
-        .as("hh"))
-      .select(col("doc_id"), col("hh.h1").as("h1"), col("hh.h2").as("h2"))
+        explode(array_distinct(split(col("text"), " "))).as("wd"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("wd")), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("wd")), 16, 1), 16, 10).cast("long").as("h2"))
     val voteCols = (0 until 64).map { bit =>
       val src = if (bit < 60) shiftright(col("h1"), bit)
         else shiftright(col("h2"), bit - 60)
