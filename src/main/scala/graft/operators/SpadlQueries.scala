@@ -81,6 +81,12 @@ object SpadlQueries {
     QueryDef("spadl_atomic",
       (s, _) => graft.convert.AtomicConvert.toAtomic(actions(s))
         .orderBy(col("game_id"), col("atomic_idx")), None),
+    // .get_vaep_values(type = "atomic") analogue (R/model_data.R:26-32):
+    // atomic conversion + the atomic committed-model valuation
+    QueryDef("spadl_atomic_valued",
+      (s, _) => graft.vaep.AtomicValuation.value(
+        graft.convert.AtomicConvert.toAtomic(actions(s)))
+        .orderBy(col("game_id"), col("atomic_idx")), None),
     // W10 possession sessionization via the built-in session_window (10 s
     // gap per doc+team) — batch form of the streaming possessions query
     QueryDef("spadl_possessions",
