@@ -162,6 +162,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(read.columns.contains("_batch_id"))
   }
 
+  test("sink: uncommitted batch dir (crash window) is invisible to readers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    val sink = new ExactlyOnceSink(dir)
+    val games = FixtureGen.corpus(2, 60)
+    val rows = batchTruth(games.map(_.copy(keypasses = Nil)))
+    val df = spark.createDataset(rows).toDF()
+    sink.write(df, 0L)
+    // simulate a crash BETWEEN parquet write and marker commit: data dir
+    // exists, marker doesn't
+    import org.apache.spark.sql.functions.lit
+    df.withColumn("_lineage_partition", lit(0))
+      .withColumn("_batch_id", lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/batch_id=1")
+    assert(sink.committedBatchIds() == Set(0L))
+    assert(sink.read(spark).count() == rows.size,
+      "reader must ignore the uncommitted batch dir")
+    // the re-delivered batch 1 rewrites the SAME dir and commits it
+    sink.write(df.limit(5), 1L)
+    assert(sink.committedBatchIds() == Set(0L, 1L))
+    assert(sink.read(spark).count() == rows.size + 5)
+  }
+
+  test("jittered delivery within the watermark slack == batch truth") {
+    // events arrive OUT OF ORDER but each within the 10s allowed lateness:
+    // arrival order = sort by (event_time + U[0,8s)) — by the time any
+    // event arrives, the watermark (max seen - 10s) is still below its
+    // own timestamp, so nothing may be dropped and the output must equal
+    // the batch truth exactly.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val games = FixtureGen.corpus(4, 80)
+    val truth = batchTruth(games.map(_.copy(keypasses = Nil))).sortBy(key)
+    val rnd = new scala.util.Random(7L)
+    val all = games.flatMap(g => SpadlStream.toStreamEvents(g.doc, Base))
+      .map(e => (e.event_time.getTime + rnd.nextInt(8000), e))
+      .sortBy { case (arrival, e) => (arrival, e.doc_id, e.seq) }
+      .map(_._2)
+    val mem = MemoryStream[SpadlStream.StreamEvent]
+    val out = SpadlStream.valuedActions(spark, mem.toDS(), None,
+      "10 seconds", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_jitter").start()
+    try {
+      all.grouped(math.max(1, all.size / 9)).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+      for (d <- 30 to 32) {
+        mem.addData(sentinel(d - 29, d)); q.processAllAvailable()
+      }
+      val got = spark.table("stream_jitter").as[ValuedAction]
+        .collect().toSeq.sortBy(key)
+      assert(got.size == truth.size,
+        s"jitter run rows got=${got.size} want=${truth.size}")
+      got.zip(truth).foreach { case (a, b) => assert(a == b, s"${key(a)}") }
+    } finally q.stop()
+  }
+
   test("streaming session-window possessions == batch session_window") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
