@@ -158,6 +158,17 @@ object Dedup {
     * arithmetic is expressible in DuckDB (see [[polyHashSql]]); engine
     * parity on edge cases verified: Spark split('','')=[] and DuckDB
     * string_split('','')=[''] with ascii('')=0 both fold to 0.
+    *
+    * ASCII/BMP-corpus assumption (round-2 ADVICE): Spark's empty-regex
+    * split (>= 3.4, SPARK-40194) yields UTF-16 code units — a non-BMP
+    * character becomes two surrogate halves — while DuckDB string_split
+    * yields code points, so the per-char fold agrees only on
+    * single-code-unit text. The same assumption holds for the md5 word
+    * hashes in q25/q26 (whole-word md5 agrees on any UTF-8, but the
+    * whitespace tokenization does not on exotic spaces). The `documents`
+    * corpus is ASCII by construction; normalize non-ASCII text upstream
+    * (e.g. drop multi-code-unit chars on BOTH engines) before relying on
+    * cross-engine hash equality elsewhere.
     */
   def polyHash(s: Column): Column =
     aggregate(transform(split(s, ""), ch => ascii(ch).cast("long")),

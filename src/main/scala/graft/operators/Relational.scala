@@ -487,19 +487,55 @@ object Relational {
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY status, priority""")),
 
-    // ------------- exact interpolated percentiles (sort-based aggregate)
+    // ------------- exact interpolated percentiles (sort-based aggregate).
+    // The interpolated percentile at p = num/den over integer values is
+    // computed as PURE INTEGER arithmetic scaled by den:
+    //   idx = num*(n-1) = lo*den + rem;  pct*den = den*v_lo + (v_hi-v_lo)*rem
+    // — rank-select v_lo/v_hi via one window sort (the same sort an exact
+    // percentile needs anyway; no per-group array materialization, so the
+    // plan survives groups of any size), then combine in the aggregate.
+    // Both engines run the identical integer formula, so there is NO
+    // float-interpolation rounding boundary (round-2 ADVICE on q45).
     QueryDef("q45_percentiles",
-      (s, d) => T.load(s, d, "lineitem")
-        .withColumn("qty", col("l_quantity").cast("long"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          round(percentile(col("qty"), lit(0.5)), 6).as("med_qty"),
-          round(percentile(col("qty"), lit(0.9)), 6).as("p90_qty"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")),
-      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-          round(quantile_cont(CAST(l_quantity AS BIGINT), 0.5), 6) AS med_qty,
-          round(quantile_cont(CAST(l_quantity AS BIGINT), 0.9), 6) AS p90_qty
-        FROM lineitem GROUP BY l_returnflag, l_linestatus
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag", "l_linestatus")
+        val ranked = T.load(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity").cast("long").as("qty"))
+          .withColumn("rn", row_number().over(w.orderBy(col("qty"))))
+          .withColumn("cnt", count(lit(1)).over(w))
+        def pctX(num: Int, den: Int): Column = {
+          val idx = (col("cnt") - 1) * num
+          val lo = ((idx - pmod(idx, lit(den))) / den).cast("long")
+          val rem = pmod(idx, lit(den))
+          val vLo = max(when(col("rn") === lo + 1, col("qty")))
+          val vHi = coalesce(max(when(col("rn") === lo + 2, col("qty"))), vLo)
+          lit(den) * vLo + (vHi - vLo) * max(rem)
+        }
+        ranked.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            pctX(1, 2).as("med_qty_x2"),
+            pctX(9, 10).as("p90_qty_x10"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_linestatus,
+            CAST(l_quantity AS BIGINT) AS qty,
+            row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+              ORDER BY CAST(l_quantity AS BIGINT)) AS rn,
+            count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS cnt
+          FROM lineitem)
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(2 * max(CASE WHEN rn = (cnt-1)//2 + 1 THEN qty END)
+            + (coalesce(max(CASE WHEN rn = (cnt-1)//2 + 2 THEN qty END),
+                        max(CASE WHEN rn = (cnt-1)//2 + 1 THEN qty END))
+               - max(CASE WHEN rn = (cnt-1)//2 + 1 THEN qty END))
+              * max((cnt-1) % 2) AS BIGINT) AS med_qty_x2,
+          CAST(10 * max(CASE WHEN rn = (9*(cnt-1))//10 + 1 THEN qty END)
+            + (coalesce(max(CASE WHEN rn = (9*(cnt-1))//10 + 2 THEN qty END),
+                        max(CASE WHEN rn = (9*(cnt-1))//10 + 1 THEN qty END))
+               - max(CASE WHEN rn = (9*(cnt-1))//10 + 1 THEN qty END))
+              * max((9*(cnt-1)) % 10) AS BIGINT) AS p90_qty_x10
+        FROM r GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")),
 
     // --------------------- pivot: lang distribution per source (wide agg)

@@ -163,10 +163,21 @@ object Similarity {
     * see [[neardupLsh]]).
     */
   def intLshSignature(e: DataFrame, planes: Int): DataFrame = {
+    // Overflow envelope (round-2 ADVICE): |vi| <= 8e6 and <= 1024 dims
+    // bounds |sum(vi * c)| by 1024 * 8e6 * 1e6 ~ 8.2e15 << Long.MaxValue,
+    // so the exact-integer projection can never hit Spark 4's ANSI
+    // long-sum overflow (which DuckDB would survive by HUGEINT promotion,
+    // silently diverging). assert_true is codegen'd and returns NULL on
+    // success, so the guard costs one branch per element.
+    val guard = coalesce(assert_true(
+      abs(col("v")) <= 8.0 && col("pos") < 1024,
+      lit("intLshSignature domain: |embedding value| <= 8 and dims <= 1024")
+    ).cast("long"), lit(0L))
     val ex = e.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"),
-        round(col("v").cast("double") * 1000000, 0).cast("long").as("vi"))
+        (round(col("v").cast("double") * 1000000, 0).cast("long") + guard)
+          .as("vi"))
     val projCols = (0 until planes).map(p =>
       sum(col("vi") * lcgCompInt(p, col("pos"))).as(s"s$p"))
     ex.groupBy(col("vec_id"))

@@ -18,20 +18,29 @@ import org.apache.spark.sql.DataFrame
 final class IcebergMergeSink(table: String) extends Serializable {
 
   /** The MERGE statement for one micro-batch staged as `sourceView`.
-    * WHEN NOT MATCHED only: re-delivered rows are byte-identical (the
-    * pipeline is deterministic), so matches are silently kept — the
-    * insert is idempotent per (game_id, action_idx).
+    * True upsert: a redelivered batch normally carries byte-identical rows
+    * (the pipeline is deterministic), but if recomputed values DIFFER —
+    * e.g. a model/logic change across a restart — WHEN MATCHED UPDATE SET *
+    * converges the table to the latest computation instead of silently
+    * keeping stale rows (round-2 ADVICE). Still idempotent per
+    * (game_id, action_idx): re-applying the same batch is a no-op update.
     */
   def mergeSql(sourceView: String): String =
     s"""MERGE INTO $table t
        |USING $sourceView s
        |ON t.game_id = s.game_id AND t.action_idx = s.action_idx
+       |WHEN MATCHED THEN UPDATE SET *
        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
 
   /** foreachBatch body for a cluster with an Iceberg catalog. */
   def write(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val catalog = table.split('.').head
+    val parts = table.split('.')
+    require(parts.length == 3,
+      s"IcebergMergeSink target '$table' must be a fully-qualified " +
+        "3-part <catalog>.<db>.<table> identifier (a 2-part session-" +
+        "catalog name would resolve the catalog lookup against the db name)")
+    val catalog = parts.head
     require(
       spark.conf.getOption(s"spark.sql.catalog.$catalog").isDefined,
       s"catalog '$catalog' is not configured — on this sandbox use " +

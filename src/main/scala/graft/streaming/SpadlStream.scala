@@ -232,7 +232,8 @@ object SpadlStream {
   }
 
   def stateFn(sessionGapMs: Long, emissionLagMs: Long,
-      lateCounter: Option[org.apache.spark.util.LongAccumulator])(
+      lateCounter: Option[org.apache.spark.util.LongAccumulator],
+      lostUpgrades: Option[org.apache.spark.util.LongAccumulator] = None)(
       key: String, rows: Iterator[StreamEvent],
       state: GroupState[GameBuf]): Iterator[ValuedAction] = {
     val dbg = sys.env.get("GRAFT_STATE_DEBUG").contains(key)
@@ -267,10 +268,20 @@ object SpadlStream {
     // always released before the 31s emission lag lets the action emit.
     val kpUpgrade = scala.collection.mutable.Map.empty[Int, String]
     var dropped = 0L
+    var lostUpg = 0L
     rows.foreach { e =>
       // truly-late drop: the event's region is already emitted AND its
       // duplicates of retired events land here too (retired => ts<frontier)
-      if (e.event_time.getTime < buf0.frontierTs) dropped += 1
+      if (e.event_time.getTime < buf0.frontierTs) {
+        dropped += 1
+        // a keypass upgrade aimed at an already-emitted/retired event is a
+        // PARITY LOSS, not routine lateness: the batch path would have the
+        // upgraded flag. Counted separately (round-2 ADVICE) so a margin
+        // break between the join's release bound and the emission lag is
+        // observable instead of silent. Never fires while emissionLagMs
+        // exceeds the join bound (see valuedActions).
+        if (e.pass_type.isDefined) lostUpg += 1
+      }
       else if (e.provider == TokenCodec.ProviderOpta && {
         val p = e.group(2); p != 1 && p != 2
       }) () // P1 period filter at ingestion: never buffered
@@ -284,6 +295,7 @@ object SpadlStream {
       }
     }
     lateCounter.foreach(_.add(dropped))
+    lostUpgrades.foreach(_.add(lostUpg))
     val freshV = fresh.result()
     val events0 = prior ++ freshV
     val events =
@@ -347,7 +359,8 @@ object SpadlStream {
       keypass: Option[DataFrame] = None,
       watermarkDelay: String = "10 seconds",
       sessionGap: String = "10 minutes",
-      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      lostUpgrades: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[ValuedAction] = {
     import spark.implicits._
     val withKp: Dataset[StreamEvent] = keypass match {
@@ -374,13 +387,17 @@ object SpadlStream {
     }
     // emission must lag the global watermark by the join's release bound:
     // an unmatched left row is released only once the watermark passes its
-    // +30s join window, so rows legitimately arrive up to 30s "late"
-    val emissionLagMs = if (keypass.isDefined) 31000L else 0L
+    // +30s join window, so rows legitimately arrive up to 30s "late". The
+    // lag carries a 10s safety margin over that bound (round-2 ADVICE:
+    // the old 1s margin made parity rest on scheduler timing); an upgrade
+    // that still misses the buffer increments `lostUpgrades`.
+    val emissionLagMs = if (keypass.isDefined) 40000L else 0L
     withKp
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
-        stateFn(intervalMs(sessionGap), emissionLagMs, lateCounter))
+        stateFn(intervalMs(sessionGap), emissionLagMs, lateCounter,
+          lostUpgrades))
   }
 
   private def intervalMs(s: String): Long = {

@@ -42,7 +42,9 @@ class StreamingSpec extends AnyFunSuite {
   private def key(v: ValuedAction) = (v.game_id, v.action_idx)
 
   private def runStream(games: Seq[FixtureGen.Game], slices: Int,
-      withKeypass: Boolean = false): Seq[ValuedAction] = {
+      withKeypass: Boolean = false,
+      lostUpgrades: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Seq[ValuedAction] = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val all = games.flatMap(g => SpadlStream.toStreamEvents(g.doc, Base))
@@ -53,7 +55,8 @@ class StreamingSpec extends AnyFunSuite {
       "event_time")
     val out = SpadlStream.valuedActions(spark, mem.toDS(),
       if (withKeypass) Some(kpDf) else None,
-      watermarkDelay = "10 seconds", sessionGap = "10 minutes")
+      watermarkDelay = "10 seconds", sessionGap = "10 minutes",
+      lostUpgrades = lostUpgrades)
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("stream_out")
       .trigger(Trigger.ProcessingTime(0)).start()
@@ -105,11 +108,17 @@ class StreamingSpec extends AnyFunSuite {
   test("stream-stream keypass join sets assist/keypass flags like batch") {
     val games = FixtureGen.corpus(4, 100).filter(_.doc.source == "opta")
     assert(games.exists(_.keypasses.nonEmpty), "fixture has keypasses")
+    val lost = spark.sparkContext.longAccumulator("lost_kp_upgrades")
     val truth = batchTruth(games).sortBy(key)
-    val got = runStream(games, 5, withKeypass = true).sortBy(key)
+    val got = runStream(games, 5, withKeypass = true,
+      lostUpgrades = Some(lost)).sortBy(key)
     assert(got.size == truth.size)
     got.zip(truth).foreach { case (a, b) => assert(a == b, s"${key(a)}") }
     assert(got.exists(_.keypass) || got.exists(_.assist))
+    // every keypass upgrade must land while its event is still buffered —
+    // a nonzero count means the emission lag no longer covers the join's
+    // release bound (silent parity loss made observable, round-2 ADVICE)
+    assert(lost.value == 0L, s"lost keypass upgrades: ${lost.value}")
   }
 
   test("duplicate deliveries are idempotent; late rows are dropped") {
@@ -324,12 +333,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.toString.toLowerCase.contains("merge"))
     assert(sql.contains("t.game_id = s.game_id") &&
       sql.contains("t.action_idx = s.action_idx") &&
+      sql.contains("WHEN MATCHED THEN UPDATE SET *") &&
       sql.contains("WHEN NOT MATCHED THEN INSERT *"))
     import spark.implicits._
     val df = spark.createDataset(batchTruth(
       FixtureGen.corpus(1, 40).map(_.copy(keypasses = Nil)))).toDF()
     val err = intercept[IllegalArgumentException](sink.write(df, 0L))
     assert(err.getMessage.contains("catalog 'lake' is not configured"))
+    // a 2-part session-catalog name must fail FAST with a clear error,
+    // not a confusing spark.sql.catalog.<db> lookup (round-2 ADVICE)
+    val twoPart = new graft.streaming.IcebergMergeSink("graft.spadl")
+    val err2 = intercept[IllegalArgumentException](twoPart.write(df, 0L))
+    assert(err2.getMessage.contains("3-part"))
   }
 
   test("stream multi-keypass rows: winner independent of delivery order") {
