@@ -181,17 +181,6 @@ object Dedup {
        |        pc -> CAST(ascii(pc) AS BIGINT))),
        |      (acc, c) -> (acc * 31 + c) % $HashM)""".stripMargin
 
-  /** Word 3-gram shingle array (distinct). All higher-order functions —
-    * stays inside codegen, no UDF.
-    */
-  private def wordShingles(text: Column, n: Int = 3): Column = {
-    val words = split(text, " ")
-    val k = size(words) - (n - 1)
-    array_distinct(
-      when(k > 0, transform(sequence(lit(0), k - 1), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(words, (i + j + 1).cast("int"))): _*)))
-        .otherwise(array(text)))
-  }
 
   /** Shared tail of every MinHash variant: per-doc signature columns
     * m0..m{perms-1} -> banded fold keys -> capped bucket self-join ->
@@ -210,6 +199,10 @@ object Dedup {
       .withColumn("bn",
         count(lit(1)).over(Window.partitionBy("band", "key")))
       .filter(col("bn") <= cap)
+      // materialize ONE exchange on the join key: both self-join sides and
+      // the final sort's range sampler then read the same shuffle output
+      // (AQE stage reuse) instead of re-executing the signature subtree
+      .repartition(col("band"), col("key"))
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
@@ -259,15 +252,21 @@ object Dedup {
     */
   def simhashCandidates(s: SparkSession, docs: DataFrame,
       maxHamming: Int = 6): DataFrame = {
-    // explode plain words FIRST, hash in a flat projection: the md5 runs
-    // in whole-stage codegen with subexpression elimination (one digest
-    // per word), instead of building per-element structs inside an
-    // interpreted lambda
-    val hashed = docs.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("wd"))
-      .select(col("doc_id"),
+    // hash once per VOCABULARY entry, not per occurrence: distinct words
+    // are a tiny fraction of corpus tokens (heavy-tailed vocabulary), so
+    // the md5 digests are computed on the deduped word dictionary and
+    // broadcast back onto the exploded tokens — at 100 TB this turns
+    // trillions of md5 calls into |vocabulary| calls + a broadcast-hash
+    // probe per token (drop the hint if the dictionary outgrows the
+    // broadcast threshold; the join then degrades to a narrow shuffle)
+    val wd = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("wd"))
+    val dict = wd.select(col("wd")).distinct()
+      .select(col("wd"),
         conv(substring(md5(col("wd")), 1, 15), 16, 10).cast("long").as("h1"),
         conv(substring(md5(col("wd")), 16, 1), 16, 10).cast("long").as("h2"))
+    val hashed = wd.join(broadcast(dict), Seq("wd"))
+      .select(col("doc_id"), col("h1"), col("h2"))
     val voteCols = (0 until 64).map { bit =>
       val src = if (bit < 60) shiftright(col("h1"), bit)
         else shiftright(col("h2"), bit - 60)
@@ -285,6 +284,9 @@ object Dedup {
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk"))
+      // one materialized exchange feeds both self-join sides + the sort
+      // sampler (AQE stage reuse — the signature subtree runs ONCE)
+      .repartition(col("band"), col("chunk"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -309,23 +311,6 @@ object Dedup {
   private def mdWordHashSql(e: String): String =
     s"(CAST('0x' || substring(md5($e), 1, 15) AS BIGINT) % $HashM)"
 
-  /** WORD-COMPOSED shingle hashes for the arithmetic MinHash: each word is
-    * hashed ONCE ([[mdWordHash]]), a 3-shingle hash is the integer fold
-    * ((wh1*131 + wh2) % M * 131 + wh3) % M of its word hashes (fallback
-    * for <3-word docs: fold over all word hashes).
-    */
-  private def shingleHashes(whs: Column): Column = {
-    // `whs` must be a PROJECTED column (a bound attribute), never the
-    // word-hash expression inline: this function references it 5 times,
-    // and an inline expression would be re-evaluated per reference.
-    val k = size(whs) - 2
-    when(k > 0, transform(sequence(lit(0), k - 1), g =>
-      pmod(pmod(element_at(whs, g + 1) * 131 +
-        element_at(whs, g + 2), lit(HashM)) * 131 +
-        element_at(whs, g + 3), lit(HashM))))
-      .otherwise(array(aggregate(whs, lit(0L),
-        (acc, h) => pmod(acc * 131 + h, lit(HashM)))))
-  }
 
   /** MinHash candidates from the ARITHMETIC hash family: word-composed
     * shingle hashes -> 16 LCG-permuted codegen'd MIN columns -> 4 banded
@@ -334,10 +319,39 @@ object Dedup {
     * oracle can replay it bit-for-bit.
     */
   def minhashCandidatesArith(docs: DataFrame): DataFrame = {
-    val hm = docs
+    // WINDOW-LEAD shingle composition: posexplode the words, hash each
+    // occurrence with a CODEGEN'D md5 projection, then compose the
+    // 3-shingle hash from lead(wh,1)/lead(wh,2) over (doc_id, pos) — the
+    // whole stage compiles (no interpreted HOF lambdas; the transform +
+    // element_at form cost 2x the wall at sf0.1). One exchange total: the
+    // window's hash-partition on doc_id is reused by the signature groupBy.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    // hash once per VOCABULARY entry (see simhashCandidates): md5 runs on
+    // the deduped dictionary, broadcast back onto the token positions
+    val words = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
+    val dict = words.select(col("wd")).distinct()
+      .select(col("wd"), mdWordHash(col("wd")).as("wh"))
+    val hm = words.join(broadcast(dict), Seq("wd"))
+      .select(col("doc_id"), col("pos"), col("wh"))
+      .select(col("doc_id"), col("pos"), col("wh"),
+        lead(col("wh"), 1).over(w).as("h2"),
+        lead(col("wh"), 2).over(w).as("h3"),
+        count(lit(1)).over(wAll).as("nw"))
       .select(col("doc_id"),
-        transform(split(col("text"), " "), w => mdWordHash(w)).as("whs"))
-      .select(col("doc_id"), explode(shingleHashes(col("whs"))).as("hm"))
+        // identical arithmetic to the per-array fold: full 3-shingles for
+        // docs with >= 3 words; the <3-word fallback folds all word hashes
+        when(col("nw") >= 3,
+          when(col("pos") <= col("nw") - 3,
+            pmod(pmod(col("wh") * 131 + col("h2"), lit(HashM)) * 131 +
+              col("h3"), lit(HashM))))
+          .otherwise(when(col("pos") === 0,
+            when(col("nw") === 1, col("wh"))
+              .otherwise(pmod(col("wh") * 131 + col("h2"), lit(HashM)))))
+          .as("hm"))
+      .filter(col("hm").isNotNull)
     val permCols = (0 until JacPerms).map(p =>
       min(pmod(col("hm") * (2 * p + 3) + (7 * p + 1), lit(HashM))).as(s"m$p"))
     val sig = hm.groupBy(col("doc_id"))
@@ -351,20 +365,53 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, docs: DataFrame): DataFrame = {
     val cands = minhashCandidatesArith(docs)
-    // verify on the PAIR rows: join texts to the (bounded) candidate pairs
-    // and build shingle arrays per pair — the candidate subtree is used
-    // exactly once (a doc-id semi-join variant re-evaluated it 3x), and at
-    // 100 TB the shingle work is O(pairs), never O(corpus)
-    val da = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val db = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    cands.join(da, Seq("doc_a")).join(db, Seq("doc_b"))
-      .withColumn("sh_a", wordShingles(col("text_a")))
-      .withColumn("sh_b", wordShingles(col("text_b")))
+    // verify on the (bounded) candidate pairs with per-DOC distinct shingle
+    // sets built ONCE via the same codegen window-lead shape as the
+    // signature stage — the old per-pair HOF shingle build evaluated
+    // interpreted (measured 1.4 ms/pair = the dominant q26 cost), and a doc
+    // in k pairs rebuilt its set k times. Restricted to docs that actually
+    // appear in a candidate pair, so at 100 TB the shingle work stays
+    // O(candidate docs), never O(corpus).
+    val ids = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val shTbl = docs.join(broadcast(ids), Seq("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
+      .select(col("doc_id"), col("pos"), col("wd"),
+        lead(col("wd"), 1).over(w).as("w2"),
+        lead(col("wd"), 2).over(w).as("w3"),
+        count(lit(1)).over(wAll).as("nw"))
+      .select(col("doc_id"),
+        // identical shingle set to wordShingles: full 3-gram strings for
+        // >= 3 words; a <3-word doc contributes its whole text (the
+        // single-space re-join of all words IS the text for split-by-' ')
+        when(col("nw") >= 3,
+          when(col("pos") <= col("nw") - 3,
+            concat_ws(" ", col("wd"), col("w2"), col("w3"))))
+          .otherwise(when(col("pos") === 0,
+            when(col("nw") === 1, col("wd"))
+              .otherwise(concat_ws(" ", col("wd"), col("w2")))))
+          .as("sh"))
+      .filter(col("sh").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("sh"))
+    cands
+      .join(shTbl.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(shTbl.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
       .filter(col("jaccard") >= JacThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // one materialized exchange so the sort sampler reuses the verify
+      // output instead of re-executing it (AQE stage reuse)
+      .repartition(col("doc_a"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

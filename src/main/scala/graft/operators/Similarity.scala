@@ -212,6 +212,9 @@ object Similarity {
       .withColumn("bn",
         count(lit(1)).over(Window.partitionBy("band", "chunk")))
       .filter(col("bn") <= NdBucketCap)
+      // one materialized exchange feeds both self-join sides + the sort
+      // sampler (AQE stage reuse — the signature subtree runs ONCE)
+      .repartition(col("band"), col("chunk"))
     // candidate pairs stay NARROW (ids only) through distinct; embeddings
     // re-join after — the shuffle moves 16-byte pairs, not 256-byte vectors
     val a = banded.select(col("vec_id").as("vec_a"), col("band"), col("chunk"))
