@@ -32,6 +32,58 @@ object SpadlQueries {
       Some(kp.as[graft.model.KeypassRow])).toDF()
   }
 
+  /** Full streaming pipeline over the fixture corpus, driven to completion
+    * inside one call: micro-batch slices via MemoryStream, the keypass
+    * stream joined stream-stream under watermark bounds, sessions closed by
+    * far-future sentinels (period-3 events that the P1 filter drops from
+    * output). Returns the collected append-sink rows.
+    */
+  def streamActions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.SpadlStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    val base = 1704067200000L
+    val games = FixtureGen.corpus(NGames, EventsPerGame)
+    val all = games.flatMap(g => SpadlStream.toStreamEvents(g.doc, base))
+      .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    val mem = MemoryStream[SpadlStream.StreamEvent]
+    val kpMem = MemoryStream[(String, Int, String, Timestamp)]
+    val kpDf = kpMem.toDS().toDF("doc_id", "event_id", "pass_type",
+      "event_time")
+    val out = SpadlStream.valuedActions(spark, mem.toDS(), Some(kpDf))
+    val sinkName = "graft_stream_actions_sink"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try {
+      games.flatMap(_.keypasses).foreach { k =>
+        kpMem.addData((k.doc_id, k.event_id, k.pass_type,
+          new Timestamp(base + (k.event_time_sec * 1000).toLong)))
+      }
+      all.grouped(math.max(1, all.size / 8)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      // sentinels: advance BOTH watermarked inputs (global wm = min), fire
+      // the session timeouts in the batches that follow
+      for (d <- 30 to 32) {
+        mem.addData(SpadlStream.StreamEvent(s"99${d - 29}", "opta", 0, 10,
+          d - 29, new Timestamp(base + d * 86400000L),
+          Array(1, 1, 3, 0, 0, 1, 10, 1, 5000, 5000, 0), None))
+        kpMem.addData(("998", -1, "none",
+          new Timestamp(base + d * 86400000L)))
+        q.processAllAvailable()
+      }
+      val rows = spark.table(sinkName).as[graft.model.ValuedAction]
+        .collect().toSeq
+      spark.createDataset(rows).toDF()
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(sinkName)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("spadl_actions",
       (s, _) => actions(s).orderBy(col("game_id"), col("action_idx")), None),
@@ -87,6 +139,15 @@ object SpadlQueries {
       (s, _) => graft.vaep.AtomicValuation.value(
         graft.convert.AtomicConvert.toAtomic(actions(s)))
         .orderBy(col("game_id"), col("atomic_idx")), None),
+    // the STREAMING engine as a driver query (round-2 VERDICT next-#3):
+    // the same fixture corpus pushed through MemoryStream -> stream-stream
+    // keypass join -> watermark -> flatMapGroupsWithState -> append sink,
+    // sliced into micro-batches with far-future sentinels closing the
+    // sessions. Output must equal spadl_valued row-for-row (the driver
+    // rows-checks the streaming path every round, not just batch twins).
+    QueryDef("spadl_stream_actions",
+      (s, _) => streamActions(s)
+        .orderBy(col("game_id"), col("action_idx")), None),
     // W10 possession sessionization via the built-in session_window (10 s
     // gap per doc+team) — batch form of the streaming possessions query
     QueryDef("spadl_possessions",

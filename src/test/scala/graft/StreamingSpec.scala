@@ -347,6 +347,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("3-part"))
   }
 
+  test("spadl_stream_actions driver query == spadl_valued (full pipeline)") {
+    // the driver-facing streaming query must reproduce the batch valuation
+    // row-for-row over the full fixture corpus (round-2 VERDICT next-#3)
+    val cols = graft.SparkEntry.queries("spadl_valued")(spark, "")
+      .columns.sorted.toSeq
+    val stream = graft.SparkEntry.queries("spadl_stream_actions")(spark, "")
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().toSeq
+    val batch = graft.SparkEntry.queries("spadl_valued")(spark, "")
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().toSeq
+    assert(stream.size == batch.size && stream.nonEmpty)
+    stream.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("stream multi-keypass rows: winner independent of delivery order") {
     // one event with BOTH 'key' and 'assisst' outcome rows: the stream-
     // stream join delivers two match rows; KpWinner precedence (not
