@@ -182,6 +182,96 @@ class BatchEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("Catalyst InStat == core: scalacheck over adversarial freekick shapes") {
+    // VERDICT r2 #8: the misaligned-predecessor shift (InstatConvertBatch
+    // step1-step3) is the subtlest translation in the repo. Property: games
+    // GENERATED to stress exactly its branch points — freekick candidate at
+    // row 0 (shift=2), consecutive candidate runs, candidate at the last
+    // row (no following candidate -> nc1/nc2 null -> coalesce false),
+    // ball-out/match-status predecessors — are bitwise-equal between the
+    // Catalyst plan and the per-game core.
+    import spark.implicits._
+    import graft.model.{InstatConfig => IC, InstatRawEvent}
+    import org.scalacheck.{Gen, Prop}
+    val Home = 30; val Away = 40
+
+    // event prototypes: (action_id, gat, std, attack)
+    final case class Proto(act: Int, gat: Int, std: Int, attack: Int)
+    val genCand: Gen[Proto] = for {
+      std <- Gen.oneOf(IC.StdDirectFreekick, IC.StdIndirectFreekick)
+      gat <- Gen.frequency(3 -> Gen.const(IC.GatPass),
+        1 -> Gen.const(IC.GatShot)) // GatShot -> shot_freekick branch
+    } yield Proto(1011, gat, std, 1)
+    val genFiller: Gen[Proto] = Gen.frequency(
+      3 -> Gen.const(Proto(27000, IC.GatBallOut, 1, 0)), // pred NOT ok
+      3 -> Gen.const(Proto(18000, IC.GatMatchStatus, 1, 0)), // pred NOT ok
+      4 -> Gen.const(Proto(1011, IC.GatPass, IC.StdOpenPlay, 0)),
+      2 -> Gen.const(Proto(26001, IC.GatCross, 1, 0)), // "cross" in name
+      2 -> Gen.const(Proto(IC.ADribble, 0, 1, 0)), // Q3 dual-tag
+      1 -> Gen.const(Proto(IC.AGoal, IC.GatShot, 1, 0)),
+      1 -> Gen.const(Proto(1011, IC.GatPass, IC.StdCorner, 1))) // corner
+    val genSeg: Gen[List[Proto]] = Gen.frequency(
+      // candidate runs of 1-3 CONSECUTIVE candidates
+      2 -> Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genCand)),
+      3 -> Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, genFiller)))
+    val genGame: Gen[List[Proto]] = for {
+      atRow0 <- Gen.oneOf(true, false)
+      row0Run <- Gen.choose(1, 2)
+      head <- if (atRow0) Gen.listOfN(row0Run, genCand) else genFiller.map(List(_))
+      body <- Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, genSeg)).map(_.flatten)
+      atLast <- Gen.oneOf(true, false)
+      tail <- if (atLast) genCand.map(List(_)) else Gen.const(Nil)
+    } yield head ++ body ++ tail
+    // one scalacheck sample = a batch of 8 games -> ONE spark job per trial
+    val genBatch: Gen[List[List[Proto]]] = Gen.listOfN(8, genGame)
+
+    var batchNo = 0
+    val prop = Prop.forAll(genBatch) { batch =>
+      batchNo += 1
+      val rnd = new scala.util.Random(batchNo * 7919L)
+      val games: Seq[(Int, Vector[InstatRawEvent])] =
+        batch.zipWithIndex.map { case (protos, gi) =>
+          var sec = 0.0
+          val evs = protos.zipWithIndex.map { case (p, i) =>
+            sec += rnd.nextInt(3) // 0 => frequent time ties
+            val team = if (rnd.nextBoolean()) Home else Away
+            InstatRawEvent(i + 1, 1, sec, team, team * 100 + 1, 5, p.act,
+              p.gat, p.std, p.attack, rnd.nextBoolean(), 1,
+              rnd.nextInt(10500) / 100.0, rnd.nextInt(6800) / 100.0,
+              if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(10500) / 100.0),
+              if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(6800) / 100.0),
+              IC.actionName(p.act))
+          }.toVector
+          (9000 + batchNo * 100 + gi) -> evs
+        }
+      val flat = games.flatMap { case (gid, evs) =>
+        evs.zipWithIndex.map { case (e, i) =>
+          SpadlPipeline.InstatFlatEvent(gid, Home, i, e.id, e.half, e.second,
+            e.team_id, e.player_id, e.position_id, e.action_id,
+            e.generic_action_type_id, e.standart_id, e.attack_status_id,
+            e.outcome, e.body_id, e.pos_x, e.pos_y, e.pos_dest_x,
+            e.pos_dest_y, e.action_name)
+        }
+      }
+      val got = InstatConvertBatch.toSpadl(spark.createDataset(flat).toDF())
+        .as[SpadlAction].collect().toSeq
+        .groupBy(_.game_id).view.mapValues(_.sortBy(_.action_idx)).toMap
+      games.forall { case (gid, evs) =>
+        val truth = InstatGameConverter.convert(gid, Home, evs)
+        val g = got.getOrElse(gid, Seq.empty)
+        val ok = g.size == truth.size &&
+          g.zip(truth).forall { case (a, b) => a.toString == b.toString }
+        if (!ok) println(s"FK-SHAPE mismatch game $gid protos=${evs.map(e =>
+          (e.action_id, e.generic_action_type_id, e.standart_id,
+            e.attack_status_id))}\n got=$g\nwant=$truth")
+        ok
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("Catalyst InStat plan: single exchange by game") {
     import spark.implicits._
     val games = FixtureGen.corpus(8, 80).filter(_.doc.source == "instat")
