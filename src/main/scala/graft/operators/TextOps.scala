@@ -28,28 +28,40 @@ object TextOps {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
-  /** q43: frame-sampling plumbing for media payloads — stride-16 sampling
-    * over the byte stream (text bytes stand in for media bytes; the decode
-    * step is the stub, the Spark-side batch shape is real: sequence() +
-    * transform() + aggregate(), all codegen, no UDF).
+  /** q43: REAL frame sampling over a multi-frame media container. Each doc
+    * becomes a 4-frame GRFV "video" (real PNG frames behind a seekable
+    * offset index); the sampler decodes ONLY frames 0 and 2 (stride 2) —
+    * the unsampled frames are never decompressed, which is what makes
+    * stride sampling a scan-cost reducer at 100 TB. `frame_checksum` is the
+    * sum of DECODED raster samples of the sampled frames; the oracle
+    * predicts it arithmetically from the deterministic pixel synthesis, so
+    * a broken encode, index seek or decode all fail the hash gate.
     */
   val frameSample: QueryDef = QueryDef("q43_frame_sample",
     (s, d) => {
-      val stride = 16
-      val positions = sequence(lit(1), length(col("text")), lit(stride))
+      import s.implicits._
       T.load(s, d, "documents")
-        .select(col("doc_id"),
-          size(positions).as("n_frames"),
-          aggregate(
-            transform(positions, i =>
-              ascii(col("text").substr(i, lit(1))).cast("long")),
-            lit(0L), (acc, v) => acc + v).as("frame_checksum"))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val video = MediaCodec.encodeVideo(id, text, nFrames = 4)
+          val (total, sampled, checksum) = MediaCodec.sampleVideo(video, stride = 2)
+          (id, MediaCodec.hex8(video).take(8), total, sampled, checksum)
+        })
+        .toDF("doc_id", "container_magic", "n_frames", "n_sampled",
+          "frame_checksum")
         .orderBy(col("doc_id"))
     },
+    // frame f in {0,2}, pixel i in 0..63: ascii(text[(f*17 + i) % len]);
+    // flattened: j in 0..127, f = (j // 64) * 2, i = j % 64
     Some("""SELECT doc_id,
-        len(generate_series(1, CAST(length(text) AS INT), 16)) AS n_frames,
-        CAST(list_sum(list_transform(generate_series(1, CAST(length(text) AS INT), 16),
-          i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS frame_checksum
+        '47524656' AS container_magic,
+        CAST(4 AS INT) AS n_frames,
+        CAST(2 AS INT) AS n_sampled,
+        CAST(list_sum(list_transform(generate_series(0, 127),
+          j -> ascii(substring(text,
+            CAST(((j // 64) * 2 * 17 + (j % 64)) % length(text) AS INT) + 1,
+            1)))) AS BIGINT) AS frame_checksum
       FROM documents ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
@@ -160,27 +172,41 @@ object TextOps {
         SELECT lang, rk, term, tf FROM r WHERE rk <= 5
         ORDER BY lang, rk""")),
 
-    // ---------------- multimodal plumbing: opaque binary + typed metadata.
-    // The decode/feature-extract step is a STUB (no image/audio libs in this
-    // container): payload = utf8 bytes of text standing in for media bytes;
-    // "decoded features" are deterministic functions of the binary. The
-    // Spark-side plumbing (binary column, metadata struct, batch shape) is
-    // real and oracle-checked via octet lengths.
+    // -------------- multimodal decode: REAL image encode + decode (no stub
+    // since round 3). Each doc gets a deterministic grayscale PNG payload
+    // (pixel i = ascii(text[i % len]), dims from doc_id) synthesized and
+    // then DECODED with the JDK's javax.imageio inside a typed
+    // mapPartitions (the Scala shape of a Pandas-UDF-over-mapInPandas
+    // batch). Every output column is decode-derived: `magic` is the first 8
+    // payload bytes (the fixed PNG signature proves a real PNG came out),
+    // width/height come from the decoded image, pixel_sum from the decoded
+    // raster. The oracle predicts all of them arithmetically, so any break
+    // in the encode->decode roundtrip fails the hash gate. See MediaCodec.
     QueryDef("q31_multimodal_meta",
-      (s, d) => T.load(s, d, "documents")
-        .select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload"),
-          struct(col("lang").as("lang"), col("source").as("source"),
-            col("n_chars").as("n_chars")).as("meta"))
-        .select(col("doc_id"),
-          octet_length(col("payload")).as("payload_bytes"),
-          // stubbed "decode": first-8-byte digest of the media payload
-          substring(upper(hex(col("payload"))), 1, 16).as("magic"),
-          col("meta.lang").as("lang"))
-        .orderBy(col("doc_id")),
+      (s, d) => {
+        import s.implicits._
+        T.load(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+          .as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, text, lang) =>
+            val payload = MediaCodec.encodePng(id, text)
+            val (w, h, pxSum) = MediaCodec.decodeStats(payload)
+            (id, MediaCodec.hex8(payload), w, h, w * h, pxSum, lang)
+          })
+          .toDF("doc_id", "magic", "width", "height", "n_pixels",
+            "pixel_sum", "lang")
+          .orderBy(col("doc_id"))
+      },
       Some("""SELECT doc_id,
-        CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
-        substring(upper(hex(encode(text))), 1, 16) AS magic,
+        '89504E470D0A1A0A' AS magic,
+        CAST(8 + doc_id % 9 AS INT) AS width,
+        CAST(8 + (doc_id // 9) % 9 AS INT) AS height,
+        CAST((8 + doc_id % 9) * (8 + (doc_id // 9) % 9) AS INT) AS n_pixels,
+        CAST(list_sum(list_transform(
+          generate_series(0,
+            CAST((8 + doc_id % 9) * (8 + (doc_id // 9) % 9) AS INT) - 1),
+          i -> ascii(substring(text, CAST(i % length(text) AS INT) + 1, 1))))
+          AS BIGINT) AS pixel_sum,
         lang
         FROM documents ORDER BY doc_id"""))
   ) :+ frameSample
