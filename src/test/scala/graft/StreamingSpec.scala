@@ -324,6 +324,82 @@ class StreamingSpec extends AnyFunSuite {
     got.zip(truth).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("mid-flight kill: stop a RUNNING query, restart from checkpoint, " +
+      "exactly-once content + per-partition lineage metrics") {
+    // VERDICT r2 #5: unlike the phase-complete resume test above, this one
+    // kills the query while it is LIVE on a continuous trigger (between /
+    // inside micro-batches, wherever stop() lands), restarts from the same
+    // checkpoint, and asserts the SURVEY §5.4 observables: exactly-once
+    // sink content, the commit ledger growing monotonically across the
+    // kill, per-partition lineage on every sink row, and emitted-row
+    // metrics from the restarted run.
+    import spark.implicits._
+    val games = FixtureGen.corpus(8, 80)
+    val truth = batchTruth(games.map(_.copy(keypasses = Nil))).sortBy(key)
+    val all = games.flatMap(g => SpadlStream.toStreamEvents(g.doc, Base))
+      .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kill")
+    val srcDir = s"$tmp/src"
+    val outDir = s"$tmp/out"
+    val ckDir = s"$tmp/ck"
+    val chunk = math.max(1, all.size / 8)
+    all.grouped(chunk).zipWithIndex.foreach { case (c, i) =>
+      spark.createDataset(c).repartition(1).write.parquet(f"$srcDir/p$i%02d")
+    }
+    def stream = spark.readStream
+      .schema(spark.createDataset(Seq(sentinel(1, 0))).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+      .as[SpadlStream.StreamEvent]
+    // phase 1: live continuous trigger; kill after >= 2 batches progressed
+    val q1 = StreamJob.start(spark, stream, outDir, ckDir,
+      trigger = Trigger.ProcessingTime(50))
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop() // mid-flight kill; any uncommitted batch is lost
+    val sink = new ExactlyOnceSink(outDir)
+    val committedAtKill = sink.committedBatchIds()
+    assert(committedAtKill.nonEmpty, "kill landed before any batch committed")
+    assert(sink.read(spark).count() < truth.size,
+      "kill landed after the stream already finished — nothing to resume")
+    // phase 2: sentinels land, restart from the SAME checkpoint and drain
+    Seq(30, 31, 32).zipWithIndex.foreach { case (d, i) =>
+      spark.createDataset(Seq(sentinel(i + 1, d))).write.parquet(s"$srcDir/zz$i")
+    }
+    val metrics = new StreamJob.EmitMetricsListener
+    spark.streams.addListener(metrics)
+    val q2 = StreamJob.start(spark, stream, outDir, ckDir,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(180000)
+    q2.stop()
+    spark.streams.removeListener(metrics)
+    val raw = sink.read(spark)
+    // exactly-once content: bitwise equal to batch truth, unique keys
+    val got = raw.drop("_lineage_partition", "_batch_id")
+      .as[ValuedAction].collect().toSeq.sortBy(key)
+    assert(got.size == truth.size,
+      s"post-restart rows got=${got.size} want=${truth.size}")
+    got.zip(truth).foreach { case (a, b) => assert(a == b) }
+    assert(raw.select("game_id", "action_idx").distinct().count() ==
+      truth.size, "duplicate (game_id, action_idx) keys after restart")
+    // the restart RESUMED: ledger grew, never rewound
+    val committedAfter = sink.committedBatchIds()
+    assert(committedAtKill.subsetOf(committedAfter),
+      s"ledger rewound: $committedAtKill not in $committedAfter")
+    assert(committedAfter.size > committedAtKill.size,
+      "restarted run committed no new batches")
+    // per-partition lineage on every row, spread over several partitions
+    import org.apache.spark.sql.functions.col
+    val lineage = raw.groupBy(col("_lineage_partition")).count().collect()
+    assert(lineage.forall(!_.isNullAt(0)), "null _lineage_partition")
+    assert(lineage.length >= 2,
+      s"expected multi-partition lineage, got ${lineage.length}")
+    // emitted-row metrics observed during the restarted run
+    assert(metrics.batches > 0 && metrics.totalInputRows > 0,
+      s"no metrics from restarted run: ${metrics.batches}/${metrics.totalInputRows}")
+  }
+
   test("IcebergMergeSink: MERGE statement parses; write refuses w/o catalog") {
     val sink = new graft.streaming.IcebergMergeSink("lake.graft.spadl")
     val sql = sink.mergeSql("src_view")
