@@ -125,6 +125,20 @@ object Similarity {
       (s, d) => annProbe(T.load(s, d, "embeddings")),
       Some(annProbeOracle)),
 
+    // -------------------- IVF search: label centroids as the coarse
+    // quantizer (the q34 coarse step turned into an actual SEARCH). The
+    // query vector ranks the centroids by exact-integer distance, probes
+    // only the nprobe=2 nearest clusters, and exact-cosine-ranks just
+    // those clusters' members. At 100 TB the corpus is written partitioned
+    // by cluster id, so the probe is a partition-pruned scan of 2/nlist of
+    // the data; the centroid table and the query broadcast. Deterministic
+    // end-to-end (integer micro-sum centroids, per-row-rounded distances),
+    // so the cluster CHOICE — not just the final ranking — is replayed by
+    // the oracle.
+    QueryDef("q48_ivf_search",
+      (s, d) => ivfSearch(T.load(s, d, "embeddings")),
+      Some(ivfSearchOracle)),
+
     // ------------- embedding-cosine near-duplicate pairs, LSH-blocked.
     // Candidate generation: 16 deterministic random-hyperplane sign bits,
     // banded into 2 x 8-bit chunks; docs sharing a (band, chunk) bucket
@@ -315,6 +329,70 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** IVF search: coarse-quantize by label centroid (exact integer
+    * micro-sums, as q34), probe the `nprobe` nearest clusters to the query
+    * vector, exact-cosine top-k within them. See the q48 QueryDef note for
+    * the 100-TB layout.
+    */
+  def ivfSearch(e: DataFrame, queryVecId: Long = 0, nprobe: Int = 2,
+      k: Int = 10): DataFrame = {
+    val exploded = e.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val centroids = exploded.groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("v").cast("double") * 1000000, 0).cast("long"))
+        .as("s6"), count(lit(1)).as("cnt"))
+      .withColumn("c", col("s6").cast("double") / (col("cnt") * lit(1000000.0)))
+    val q = exploded.filter(col("vec_id") === queryVecId)
+      .select(col("pos"), col("v").cast("double").as("qv"))
+    // query-to-centroid distances, integer-ized per component (order-free),
+    // nprobe nearest clusters with a deterministic label tie-break
+    val probed = centroids.join(broadcast(q), Seq("pos"))
+      .withColumn("d2e8", round((col("qv") - col("c")) * (col("qv") - col("c"))
+        * 100000000, 0).cast("long"))
+      .groupBy(col("label")).agg(sum(col("d2e8")).as("qd2"))
+      .orderBy(col("qd2"), col("label")).limit(nprobe)
+      .select(col("label"))
+    val qEmb = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    e.join(broadcast(probed), Seq("label")) // partition-pruned scan at scale
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qEmb))
+      .withColumn("cosine", round(
+        dot(col("embedding"), col("q_emb")) /
+          (norm(col("embedding")) * norm(col("q_emb"))), 4))
+      .select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[ivfSearch]] (query vec 0, nprobe 2, k 10). */
+  private lazy val ivfSearchOracle: String =
+    s"""WITH ex AS (SELECT label, vec_id,
+       |    unnest(embedding) AS v,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |cen AS (SELECT label, pos,
+       |    CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s6,
+       |    count(*) AS cnt
+       |  FROM ex GROUP BY label, pos),
+       |cj AS (SELECT label, pos, s6 / (cnt * 1000000.0) AS c FROM cen),
+       |qv AS (SELECT pos, CAST(v AS DOUBLE) AS qv FROM ex WHERE vec_id = 0),
+       |qd AS (SELECT label,
+       |    CAST(sum(CAST(round((qv - c) * (qv - c) * 100000000, 0) AS BIGINT)) AS BIGINT) AS qd2
+       |  FROM cj JOIN qv USING (pos) GROUP BY label),
+       |top AS (SELECT label FROM qd ORDER BY qd2, label LIMIT 2),
+       |qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, round(
+       |    list_sum(list_transform(list_zip(e.embedding, q_emb),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(e.embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(q_emb,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+       |FROM embeddings e JOIN top USING (label), qe
+       |WHERE e.vec_id <> 0
+       |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
 
   /** DuckDB mirror of [[annProbe]] (query vec 0, k = 10, 8 planes,
     * Hamming-1 multi-probe).

@@ -20,6 +20,7 @@ object StreamBench {
       .master(s"local[$cores]")
       .appName(s"graft-streambench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -32,25 +33,31 @@ object StreamBench {
     Array(1, 1, 3, 0, 0, 1, 10, 1, 5000, 5000, 0), None)
 
   /** one full run at `cores`; returns (sinkRows, wallSeconds,
-    * sustainedEventRows, sustainedSeconds) where "sustained" sums
-    * numInputRows/durations over DATA batches only (>= 1000 input rows) —
-    * the steady-state micro-batch throughput, excluding the tiny
-    * sentinel/flush batches whose fixed cost a production stream amortizes
-    * over million-row batches.
+    * sustainedEventRows, sustainedSeconds, busySeconds).
+    *
+    * "sustained" sums numInputRows/durations over DATA batches only
+    * (>= 1000 input rows) — the INGEST-side micro-batch throughput.
+    * `busySeconds` sums batchDuration over ALL batches (ingest + the
+    * state-timeout EMISSION batch + the ~0.3s empty flush batches): a
+    * steady-state 10^12-sequence stream interleaves ingest and emission
+    * every trigger, so events/busySeconds is the full-pipeline sustained
+    * rate — the number a production stream actually runs at.
     */
   private def run(cores: Int, srcDir: String, root: String,
-      tag: String): (Long, Double, Long, Double) = {
+      tag: String): (Long, Double, Long, Double, Double) = {
     val spark = session(cores)
     val outDir = s"$root/out_$tag"
     val ck = s"$root/ck_$tag"
     import spark.implicits._
     var susRows = 0L
     var susMs = 0L
+    var allMs = 0L
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        allMs += e.progress.batchDuration
         if (e.progress.numInputRows >= 1000) {
           susRows += e.progress.numInputRows
           susMs += e.progress.batchDuration
@@ -62,6 +69,23 @@ object StreamBench {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            println(f"[sbench-stage $tag] id=${sc.stageInfo.stageId} " +
+              f"tasks=${sc.stageInfo.numTasks} name=${sc.stageInfo.name.take(40)} " +
+              f"run=${m.executorRunTime / 1000.0}%.1fs gc=${m.jvmGCTime / 1000.0}%.1fs " +
+              f"cpu=${m.executorCpuTime / 1e9}%.1fs " +
+              f"shufW=${m.shuffleWriteMetrics.writeTime / 1e9}%.1fs " +
+              f"shufFetch=${m.shuffleReadMetrics.fetchWaitTime / 1000.0}%.1fs " +
+              f"serialize=${m.resultSerializationTime / 1000.0}%.1fs " +
+              f"deserialize=${m.executorDeserializeTime / 1000.0}%.1fs")
+          }
+        })
+    }
     val probe = Seq(sentinel(0, 0))
     val stream = spark.readStream
       .schema(spark.createDataset(probe).schema)
@@ -76,7 +100,7 @@ object StreamBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val rows = new ExactlyOnceSink(outDir).read(spark).count()
     spark.stop()
-    (rows, sec, susRows, susMs / 1000.0)
+    (rows, sec, susRows, susMs / 1000.0, allMs / 1000.0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -88,16 +112,18 @@ object StreamBench {
 
     val prep = session(8)
     import prep.implicits._
-    val all = (0 until games)
+    import scala.collection.parallel.CollectionConverters._
+    val all = (0 until games).par
       .flatMap(i => SpadlStream.toStreamEvents(FixtureGen.game(i, perGame).doc, Base))
+      .toVector
       .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
     val nEvents = all.size
-    val truthActions = (0 until games).flatMap { i =>
+    val truthActions = (0 until games).par.flatMap { i =>
       val g = FixtureGen.game(i, perGame)
       graft.vaep.ValuationCore.value(
         graft.convert.SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens,
           Nil))
-    }
+    }.toVector
     val truthRows = truthActions.size
     // content digest over EVERY field of every row (order-independent)
     def digestOf(hs: Seq[Long]): Long =
@@ -117,13 +143,50 @@ object StreamBench {
       .write.parquet(s"$srcDir/zz_s$i"))
     prep.stop()
 
+    // untimed JIT warmup on a small corpus: the first run through the
+    // pipeline pays Janino codegen + C2 compilation of the state loop
+    // (observed 3x on the first lo run), which would poison rep 1
+    locally {
+      val wuDir = s"$root/wusrc"
+      val wu = session(8)
+      import wu.implicits._
+      val wuEvents = (0 until 256)
+        .flatMap(i => SpadlStream.toStreamEvents(FixtureGen.game(i, 200).doc, Base))
+        .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+      wu.createDataset(wuEvents).coalesce(1).write.parquet(s"$wuDir/p000")
+      (1 to 3).foreach(i => wu.createDataset(Seq(sentinel(i, 29 + i)))
+        .write.parquet(s"$wuDir/zz_s$i"))
+      // prime the page cache for the BIG corpus: without this the first lo
+      // rep pays the cold disk read of the fresh parquet (observed 2-4x
+      // slower than every later rep) and poisons the median
+      wu.read.parquet(s"$srcDir/*").foreach(_ => ())
+      wu.stop()
+      run(2, wuDir, root, "wu_lo")
+      run(8, wuDir, root, "wu_hi")
+      println("[sbench] warmup done")
+    }
+
     var secLo = Double.MaxValue
     var secHi = Double.MaxValue
     var susLo = 0.0
     var susHi = 0.0
     var rows = 0L
+    val susLoR = scala.collection.mutable.ArrayBuffer[Double]()
+    val susHiR = scala.collection.mutable.ArrayBuffer[Double]()
+    val effR = scala.collection.mutable.ArrayBuffer[Double]()
+    val fullLoR = scala.collection.mutable.ArrayBuffer[Double]()
+    val fullHiR = scala.collection.mutable.ArrayBuffer[Double]()
+    val fullEffR = scala.collection.mutable.ArrayBuffer[Double]()
     (1 to reps).foreach { r =>
-      val (rl, sl, srl, ssl) = run(2, srcDir, root, s"lo$r")
+      // alternate which side runs first so a monotone host-throttle drift
+      // within a pair can't systematically favour one side
+      val loFirst = r % 2 == 1
+      def runLo() = run(2, srcDir, root, s"lo$r")
+      def runHi() = run(8, srcDir, root, s"hi$r")
+      val (resLo, resHi) =
+        if (loFirst) { val a = runLo(); (a, runHi()) }
+        else { val b = runHi(); (runLo(), b) }
+      val (rl, sl, srl, ssl, sal) = resLo
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG") && r == 1) {
         val sp = session(4)
         import org.apache.spark.sql.functions.col
@@ -141,7 +204,7 @@ object StreamBench {
         }
         sp.stop()
       }
-      val (rh, sh, srh, ssh) = run(8, srcDir, root, s"hi$r")
+      val (rh, sh, srh, ssh, sah) = resHi
       require(rl == rh, s"output mismatch lo=$rl hi=$rh")
       require(rh == truthRows,
         s"stream output $rh != batch truth $truthRows")
@@ -150,10 +213,12 @@ object StreamBench {
       if (r == 1) Seq("lo1", "hi1").foreach { tag =>
         val sp = session(4)
         import sp.implicits._
+        // hash rows on executors; collect only the longs (the full rows
+        // would blow maxResultSize at 10M+ actions)
         val digest = digestOf(new ExactlyOnceSink(s"$root/out_$tag").read(sp)
           .drop("_lineage_partition", "_batch_id")
-          .as[graft.model.ValuedAction].collect()
-          .map(_.hashCode.toLong).toSeq)
+          .as[graft.model.ValuedAction].map(_.hashCode.toLong)
+          .collect().toSeq)
         sp.stop()
         require(digest == truthDigest,
           s"$tag sink content digest $digest != batch truth $truthDigest")
@@ -164,9 +229,38 @@ object StreamBench {
       secHi = math.min(secHi, sh)
       susLo = math.max(susLo, srl / ssl)
       susHi = math.max(susHi, srh / ssh)
+      susLoR += srl / ssl
+      susHiR += srh / ssh
+      // per-rep efficiency: lo and hi of one rep run back-to-back, so a
+      // host-throttle wave hits both sides of the PAIR — the ratio is far
+      // more drift-robust than ratios of independently-taken extremes
+      effR += (srh / ssh) / (4.0 * (srl / ssl))
+      // full-pipeline sustained: events over TOTAL busy batch time (ingest
+      // batch + state-timeout emission batch + empty flushes) — the
+      // steady-state rate of a continuous stream, which interleaves ingest
+      // and emission every trigger; the ingest-only number above isolates
+      // the shuffle-facing half
+      val fl = nEvents / sal
+      val fh = nEvents / sah
+      fullLoR += fl
+      fullHiR += fh
+      fullEffR += fh / (4.0 * fl)
+      println(f"""[sbench rep $r${if (loFirst) "" else " hi-first"}] sustained(ingest) lo=${srl / ssl}%.0f hi=${srh / ssh}%.0f ev/s eff=${effR.last}%.3f | full-pipeline lo=$fl%.0f hi=$fh%.0f ev/s eff=${fullEffR.last}%.3f | wall lo=$sl%.1f hi=$sh%.1f s""")
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val medLo = median(susLoR.toSeq)
+    val medHi = median(susHiR.toSeq)
     val eff = (rows / secHi) / (4.0 * (rows / secLo))
     val susEff = susHi / (4.0 * susLo)
-    println(f"""{"stream_bench":{"games":$games,"event_rows":$nEvents,"action_rows":$rows,"cores_lo":2,"cores_hi":8,"wall_rows_per_sec_lo":${rows / secLo}%.1f,"wall_rows_per_sec_hi":${rows / secHi}%.1f,"wall_efficiency":$eff%.3f,"sustained_events_per_sec_lo":$susLo%.1f,"sustained_events_per_sec_hi":$susHi%.1f,"sustained_efficiency":$susEff%.3f}}""")
+    val medEff = median(effR.toSeq)
+    val fullMedLo = median(fullLoR.toSeq)
+    val fullMedHi = median(fullHiR.toSeq)
+    // PRIMARY north-rule metric: median of paired-rep full-pipeline ratios
+    val fullMedEff = median(fullEffR.toSeq)
+    println(f"""{"stream_bench":{"games":$games,"event_rows":$nEvents,"action_rows":$rows,"cores_lo":2,"cores_hi":8,"wall_rows_per_sec_lo":${rows / secLo}%.1f,"wall_rows_per_sec_hi":${rows / secHi}%.1f,"wall_efficiency":$eff%.3f,"sustained_events_per_sec_lo":$susLo%.1f,"sustained_events_per_sec_hi":$susHi%.1f,"sustained_efficiency":$susEff%.3f,"sustained_median_lo":$medLo%.1f,"sustained_median_hi":$medHi%.1f,"paired_rep_efficiencies":[${effR.map(e => f"$e%.3f").mkString(",")}],"sustained_median_efficiency":$medEff%.3f,"full_pipeline_lo":$fullMedLo%.1f,"full_pipeline_hi":$fullMedHi%.1f,"full_pipeline_rep_efficiencies":[${fullEffR.map(e => f"$e%.3f").mkString(",")}],"full_pipeline_median_efficiency":$fullMedEff%.3f,"reps":$reps}}""")
   }
 }
