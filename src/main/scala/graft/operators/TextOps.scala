@@ -209,6 +209,78 @@ object TextOps {
           AS BIGINT) AS pixel_sum,
         lang
         FROM documents ORDER BY doc_id"""))
+    ,
+
+    // --------------- deterministic stratified sampling (training-data
+    // curation): keep a document iff a stable 16-bit hash of its id falls
+    // under its language stratum's rate. Stateless hash filter — fully
+    // pushdown-able, zero shuffle, and REPRODUCIBLE: re-running the
+    // pipeline (or re-sampling after a crash) selects the identical
+    // sample, which is what makes hash sampling the curation primitive at
+    // 100 TB (a rand() sample is neither pushdown-able nor stable).
+    QueryDef("q49_stratified_sample",
+      (s, d) => {
+        val rates: Map[String, Int] = Map("en" -> 32768, "es" -> 16384,
+          "fr" -> 16384, "de" -> 16384, "zh" -> 8192) // of 65536
+        val h16 = conv(substring(md5(
+          concat(lit("strat|"), col("doc_id").cast("string"))), 1, 4),
+          16, 10).cast("long")
+        T.load(s, d, "documents")
+          .withColumn("h16", h16)
+          .withColumn("rate",
+            coalesce(element_at(typedLit(rates), col("lang")), lit(8192))
+              .cast("long"))
+          .filter(col("h16") < col("rate"))
+          .select(col("doc_id"), col("lang"), col("h16"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+          CAST('0x' || substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS h16
+        FROM documents
+        WHERE CAST('0x' || substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+          < (CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 16384
+             WHEN 'fr' THEN 16384 WHEN 'de' THEN 16384 WHEN 'zh' THEN 8192
+             ELSE 8192 END)
+        ORDER BY doc_id""")),
+
+    // --------------- benchmark-contamination check: corpus documents that
+    // share any word 5-gram with the "eval set" (doc_id < 20 stands in for
+    // a held-out benchmark). The eval side's distinct grams are SMALL by
+    // construction (eval sets are thousands of docs, not billions), so the
+    // join broadcasts — at 100 TB this is one narrow gram projection of the
+    // corpus probed against a broadcast eval-gram set, never a shuffle of
+    // the corpus.
+    QueryDef("q50_contamination",
+      (s, d) => {
+        val docs = T.load(s, d, "documents")
+        def grams(df: DataFrame): DataFrame = {
+          val ws = split(col("text"), " ")
+          val n = size(ws)
+          val idxs = when(n >= 5, sequence(lit(1), n - 4))
+            .otherwise(array().cast("array<int>"))
+          df.select(col("doc_id"), explode(
+            transform(idxs, i => array_join(slice(ws, i, lit(5)), " ")))
+            .as("gram"))
+        }
+        val evalG = grams(docs.filter(col("doc_id") < 20))
+          .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
+        val corpusG = grams(docs.filter(col("doc_id") >= 20)).distinct()
+        corpusG.join(broadcast(evalG), Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_shared_grams"),
+            countDistinct(col("eval_doc")).as("n_eval_docs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS gram
+          FROM documents),
+        e AS (SELECT DISTINCT doc_id AS eval_doc, gram FROM g WHERE doc_id < 20),
+        c AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 20)
+        SELECT c.doc_id, count(DISTINCT c.gram) AS n_shared_grams,
+          count(DISTINCT e.eval_doc) AS n_eval_docs
+        FROM c JOIN e ON c.gram = e.gram
+        GROUP BY c.doc_id ORDER BY c.doc_id"""))
   ) :+ frameSample
 
 
