@@ -127,6 +127,34 @@ class AtomicAndPlanSpec extends AnyFunSuite {
       "q33 top-k must be a TakeOrdered, not a global sort")
   }
 
+  test("plan: new curation/similarity ops broadcast + push down as designed") {
+    // q50: corpus grams probed against a BROADCAST eval-gram set — the
+    // corpus must never shuffle into the contamination join
+    val q50 = SparkEntry.queries("q50_contamination")(spark,
+      "/root/testdata/sf0.001")
+    val p50 = q50.queryExecution.executedPlan.toString
+    assert(p50.contains("BroadcastHashJoin"),
+      "q50 must broadcast the eval-set grams")
+    // q49: the stratified-sample filter is stateless — no exchange at all
+    // before the final presentation sort
+    val q49 = SparkEntry.queries("q49_stratified_sample")(spark,
+      "/root/testdata/sf0.001")
+    val p49 = q49.queryExecution.executedPlan.toString
+    val preSort = p49.split("Sort")(0)
+    assert(!preSort.contains("Exchange hashpartitioning"),
+      s"q49 sampling must not shuffle:\n$p49")
+    // q48: the probed-clusters table and the query vector broadcast; the
+    // corpus side is a scan, not an exchange-fed join build
+    val q48 = SparkEntry.queries("q48_ivf_search")(spark,
+      "/root/testdata/sf0.001")
+    val p48 = q48.queryExecution.executedPlan.toString
+    assert(p48.contains("BroadcastHashJoin") ||
+      p48.contains("BroadcastNestedLoopJoin"),
+      "q48 must broadcast the probed-cluster list + query vector")
+    assert(p48.contains("TakeOrderedAndProject"),
+      "q48 top-k must be a TakeOrdered, not a global sort")
+  }
+
   test("plan: modelData = stacked windows over ONE exchange by game") {
     import spark.implicits._
     val df = spark.createDataset(
