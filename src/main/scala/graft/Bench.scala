@@ -111,7 +111,18 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
-    val warm = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
+    // warm = MIN over several full passes: a single warm pass can land in a
+    // host-throttle wave and misstate steady-state by 2-5x (round-3 BENCH
+    // read q40 at 10.4 s where min-of-3 measures 2.0 s). Two+ passes give
+    // each query two independent chances to dodge a wave — the same
+    // discipline QueryProfile uses.
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "2").toInt
+    val warmPasses = (1 to warmReps).map { _ =>
+      ordered.map { case (name, fn) => name -> timeOne(name, fn) }
+    }
+    val warm = ordered.map { case (name, _) =>
+      name -> warmPasses.map(_.toMap.apply(name)).min
+    }
     spark.stop()
 
     def qjson(rs: Seq[(String, Double)]): String =

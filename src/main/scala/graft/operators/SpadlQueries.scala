@@ -57,38 +57,69 @@ object SpadlQueries {
     // the state partition count is fixed at query START from the session
     // conf; at the driver's local[32]/32 every micro-batch pays 32-way
     // state-store fixed cost for a 5k-row fixture corpus (observed 62 s for
-    // the whole query). 4 partitions keep the plan identical in shape and
+    // the whole query). ONE partition keeps the plan identical in shape and
     // the rows bitwise-equal (StreamingSpec pins stream == batch) at a
-    // fraction of the constant; restored right after start.
+    // fraction of the constant — each micro-batch commits 4 join-state
+    // stores + 1 fmgws store instead of 4x that many delta files; restored
+    // right after start. (Multi-partition state is exercised by the whole
+    // StreamingSpec suite and StreamBench; this knob only tames the
+    // 5k-row driver query's per-batch fixed cost.)
+    val dbg = sys.env.contains("GRAFT_STREAM_QUERY_DEBUG")
+    val t0 = System.nanoTime()
+    def mark(what: String): Unit = if (dbg)
+      println(f"[streamActions +${(System.nanoTime() - t0) / 1e9}%.2fs] $what")
+    if (dbg) spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          mark(s"batch=${e.progress.batchId} rows=${e.progress.numInputRows} durMs=${e.progress.batchDuration} ${e.progress.durationMs}")
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    // every micro-batch here is ~0.8 s of pure machinery (state-store
+    // commits for 4 join stores + 1 fmgws store, offset/commit WAL, plan +
+    // task dispatch) against a 5k-row corpus, so the query's wall time is
+    // simply 0.8 * batchCount. The minimal schedule is FOUR batches
+    // (round-3 VERDICT #4, down from seven):
+    //   batch 0: keypasses + all events + sentinel #1, queued BEFORE the
+    //            query starts so the first trigger takes everything (a
+    //            post-start addData race used to split this into 3 batches);
+    //            the watermark after it is already past every event;
+    //   batch 1: the no-data batch the wm advance schedules — the join
+    //            releases its held unmatched lefts into the state operator,
+    //            which emits every stable action;
+    //   batch 2: sentinel #2 advances the wm once more (the keys that got
+    //            join-released rows in batch 1 re-armed their timeouts);
+    //   batch 3: no-data batch — session timeouts fire, tails flush.
+    // Ordering is irrelevant to correctness (that's the watermark's job, and
+    // StreamingSpec pins slicing-equivalence exhaustively); this is purely
+    // the cheapest path through the trigger machinery.
+    def sentinel(i: Int, d: Int): SpadlStream.StreamEvent =
+      SpadlStream.StreamEvent(s"99$i", "opta", 0, 10, i,
+        new Timestamp(base + d * 86400000L),
+        Array(1, 1, 3, 0, 0, 1, 10, 1, 5000, 5000, 0), None)
+    games.flatMap(_.keypasses).foreach { k =>
+      kpMem.addData((k.doc_id, k.event_id, k.pass_type,
+        new Timestamp(base + (k.event_time_sec * 1000).toLong)))
+    }
+    mem.addData(all)
+    mem.addData(sentinel(1, 30))
+    kpMem.addData(("998", -1, "none", new Timestamp(base + 30 * 86400000L)))
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     val q =
       try out.writeStream.outputMode("append")
         .format("memory").queryName(sinkName).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     try {
-      games.flatMap(_.keypasses).foreach { k =>
-        kpMem.addData((k.doc_id, k.event_id, k.pass_type,
-          new Timestamp(base + (k.event_time_sec * 1000).toLong)))
-      }
-      // two data micro-batches (slicing-equivalence is pinned exhaustively
-      // by StreamingSpec; the driver check needs the rows, not slice stress)
-      all.grouped(math.max(1, all.size / 2)).foreach { chunk =>
-        mem.addData(chunk)
-        q.processAllAvailable()
-      }
-      // sentinels: advance BOTH watermarked inputs (global wm = min), fire
-      // the session timeouts in the batches that follow
-      for (d <- 30 to 32) {
-        mem.addData(SpadlStream.StreamEvent(s"99${d - 29}", "opta", 0, 10,
-          d - 29, new Timestamp(base + d * 86400000L),
-          Array(1, 1, 3, 0, 0, 1, 10, 1, 5000, 5000, 0), None))
-        kpMem.addData(("998", -1, "none",
-          new Timestamp(base + d * 86400000L)))
-        q.processAllAvailable()
-      }
+      q.processAllAvailable()
+      mark("ingest + sentinel #1 drained")
+      mem.addData(sentinel(2, 31))
+      kpMem.addData(("998", -1, "none", new Timestamp(base + 31 * 86400000L)))
+      q.processAllAvailable()
+      mark("sentinel #2 drained")
       val rows = spark.table(sinkName).as[graft.model.ValuedAction]
         .collect().toSeq
+      mark(s"collected ${rows.size} rows")
       spark.createDataset(rows).toDF()
     } finally {
       q.stop()
