@@ -15,7 +15,8 @@ import java.sql.Timestamp
 object StreamBench {
   private val Base = 1704067200000L
 
-  private def session(cores: Int): SparkSession = {
+  private def session(cores: Int,
+      extra: Map[String, String] = Map.empty): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-streambench-$cores")
@@ -25,7 +26,10 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    extra.foreach { case (k, v) => s.conf.set(k, v) }
+    // GRAFT_STATE=rocksdb runs the whole bench on the RocksDB state-store
+    // provider (the off-heap spill path of the design scale)
+    graft.streaming.StateStores.applyEnv(s)
   }
 
   private def sentinel(i: Int, d: Int) = SpadlStream.StreamEvent(s"99$i",
@@ -44,8 +48,10 @@ object StreamBench {
     * rate — the number a production stream actually runs at.
     */
   private def run(cores: Int, srcDir: String, root: String,
-      tag: String): (Long, Double, Long, Double, Double) = {
-    val spark = session(cores)
+      tag: String, saltParts: Option[Int] = None,
+      extra: Map[String, String] = Map.empty)
+      : (Long, Double, Long, Double, Double) = {
+    val spark = session(cores, extra)
     val outDir = s"$root/out_$tag"
     val ck = s"$root/ck_$tag"
     import spark.implicits._
@@ -94,7 +100,7 @@ object StreamBench {
       .as[SpadlStream.StreamEvent]
     val t0 = System.nanoTime()
     val q = StreamJob.start(spark, stream, outDir, ck,
-      trigger = Trigger.AvailableNow())
+      trigger = Trigger.AvailableNow(), saltParts = saltParts)
     q.awaitTermination(580000)
     q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
@@ -103,7 +109,167 @@ object StreamBench {
     (rows, sec, susRows, susMs / 1000.0, allMs / 1000.0)
   }
 
+  private def digestOf(hs: Seq[Long]): Long =
+    hs.sorted.foldLeft(17L)((a, b) => a * 31L + b)
+
+  /** order-independent full-content digest of a sink directory. */
+  private def sinkDigest(root: String, tag: String): (Long, Long) = {
+    val sp = session(4)
+    import sp.implicits._
+    val ds = new ExactlyOnceSink(s"$root/out_$tag").read(sp)
+      .drop("_lineage_partition", "_batch_id")
+      .as[graft.model.ValuedAction].map(_.hashCode.toLong)
+      .collect().toSeq
+    sp.stop()
+    (ds.size.toLong, digestOf(ds))
+  }
+
+  /** Skew-bar measurement (BASELINE.md "no hot-partition collapse on
+    * hot-`source`/hot-team input"; round-3 VERDICT #2 — promised, never
+    * benched). Corpus: a few 10x-sized hot games (hot keys for the
+    * stateful stage) and 80% of all events in ONE shard (a hot source
+    * feed). Four configs, all at 8 cores, interleaved per rep:
+    *   uniform       — the evenly-sharded corpus (reference throughput);
+    *   skew_split    — skewed corpus on SPLITTABLE storage (small
+    *                   maxPartitionBytes: what the Iceberg design target
+    *                   gives — parquet scans re-split regardless of how
+    *                   hot a source's files are);
+    *   skew_hot      — skewed corpus with the hot shard forced into one
+    *                   scan partition (maxPartitionBytes=2g: models an
+    *                   unsplittable hot Kafka-style partition);
+    *   skew_hot_salt — same + `StreamJob.saltedSpread` on the stateless
+    *                   stage.
+    * Every run must produce the skew corpus's batch-truth digest (the
+    * salt cannot change output — north rule); ratios vs uniform are the
+    * reported skew bar. Usage:
+    *   SPARK_GRAFT_STREAM_MFPT=100 sbt "runMain graft.tools.StreamBench skew [games] [reps] [perGame]"
+    */
+  private def skewMain(args: Array[String]): Unit = {
+    val games = if (args.length > 0) args(0).toInt else 3072
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val perGame = if (args.length > 2) args(2).toInt else 800
+    val hotGames = 8 // 10x-sized keys
+    def sizeOf(i: Int): Int = if (i < hotGames) perGame * 10 else perGame
+    val root = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val uniSrc = s"$root/src_uniform"
+    val skewSrc = s"$root/src_skew"
+
+    val prep = session(8)
+    import prep.implicits._
+    import scala.collection.parallel.CollectionConverters._
+
+    // uniform corpus: same layout as the main bench (16 even time-ordered
+    // shards)
+    val uni = (0 until games).par
+      .flatMap(i => SpadlStream.toStreamEvents(FixtureGen.game(i, perGame).doc, Base))
+      .toVector.sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    uni.grouped(math.max(1, uni.size / 16)).zipWithIndex.foreach { case (c, i) =>
+      prep.createDataset(c).coalesce(1).write.parquet(f"$uniSrc/p$i%03d")
+    }
+    // skew corpus: hot games 10x; hot shard = first games until 80% of
+    // events, written as ONE parquet part-file
+    val byGame = (0 until games).par.map { i =>
+      i -> SpadlStream.toStreamEvents(FixtureGen.game(i, sizeOf(i)).doc, Base)
+    }.toVector.sortBy(_._1)
+    val skewTotal = byGame.iterator.map(_._2.size.toLong).sum
+    var cum = 0L
+    val hotSet = scala.collection.mutable.Set.empty[Int]
+    byGame.foreach { case (i, ev) =>
+      if (cum < skewTotal * 8 / 10) { hotSet += i; cum += ev.size }
+    }
+    val hotEv = byGame.filter(g => hotSet(g._1)).flatMap(_._2)
+      .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    val coldEv = byGame.filterNot(g => hotSet(g._1)).flatMap(_._2)
+      .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    prep.createDataset(hotEv).coalesce(1).write.parquet(s"$skewSrc/hot")
+    coldEv.grouped(math.max(1, coldEv.size / 15)).zipWithIndex.foreach {
+      case (c, i) => prep.createDataset(c).coalesce(1)
+        .write.parquet(f"$skewSrc/p$i%03d")
+    }
+    (1 to 3).foreach { i =>
+      prep.createDataset(Seq(sentinel(i, 29 + i))).write.parquet(s"$uniSrc/zz_s$i")
+      prep.createDataset(Seq(sentinel(i, 29 + i))).write.parquet(s"$skewSrc/zz_s$i")
+    }
+    def truth(size: Int => Int): (Long, Long) = {
+      val actions = (0 until games).par.flatMap { i =>
+        val g = FixtureGen.game(i, size(i))
+        graft.vaep.ValuationCore.value(
+          graft.convert.SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens, Nil))
+      }.toVector
+      (actions.size.toLong, digestOf(actions.map(_.hashCode.toLong)))
+    }
+    val (uniRows, uniDig) = truth(_ => perGame)
+    val (skewRows, skewDig) = truth(sizeOf)
+    val hotFileBytes = {
+      val d = new java.io.File(s"$skewSrc/hot")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    println(s"[skew] uniform events=${uni.size} truth_rows=$uniRows | " +
+      s"skew events=$skewTotal hot_shard=${hotEv.size} (${hotEv.size * 100 / skewTotal}%) " +
+      s"hot_file=${hotFileBytes / 1024 / 1024}MB truth_rows=$skewRows")
+    // page-cache priming + JIT warmup (same rationale as the main bench)
+    prep.read.parquet(s"$uniSrc/*").foreach(_ => ())
+    prep.read.parquet(s"$skewSrc/*").foreach(_ => ())
+    prep.stop()
+    locally {
+      val wuDir = s"$root/wusrc"
+      val wu = session(8)
+      import wu.implicits._
+      val wuEvents = (0 until 256)
+        .flatMap(i => SpadlStream.toStreamEvents(FixtureGen.game(i, 200).doc, Base))
+        .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+      wu.createDataset(wuEvents).coalesce(1).write.parquet(s"$wuDir/p000")
+      (1 to 3).foreach(i => wu.createDataset(Seq(sentinel(i, 29 + i)))
+        .write.parquet(s"$wuDir/zz_s$i"))
+      wu.stop()
+      run(8, wuDir, root, "wu")
+      println("[skew] warmup done")
+    }
+
+    // splittable scan: cap scan partitions well under the hot shard size so
+    // the parquet reader re-splits it (the Iceberg/parquet design target);
+    // unsplittable: one 2g bound forces the hot shard into a single task
+    val split = Map("spark.sql.files.maxPartitionBytes" -> "16m")
+    val oneTask = Map("spark.sql.files.maxPartitionBytes" -> "2g")
+    final case class Cfg(tag: String, src: String, salt: Option[Int],
+        extra: Map[String, String], events: Long, truthRows: Long,
+        truthDig: Long)
+    val cfgs = Seq(
+      Cfg("uniform", uniSrc, None, oneTask, uni.size.toLong, uniRows, uniDig),
+      Cfg("skew_split", skewSrc, None, split, skewTotal, skewRows, skewDig),
+      Cfg("skew_hot", skewSrc, None, oneTask, skewTotal, skewRows, skewDig),
+      Cfg("skew_hot_salt", skewSrc, Some(8), oneTask, skewTotal, skewRows,
+        skewDig))
+    val evps = cfgs.map(_.tag -> scala.collection.mutable.ArrayBuffer
+      .empty[Double]).toMap
+    (1 to reps).foreach { r =>
+      cfgs.foreach { c =>
+        val tag = s"${c.tag}_r$r"
+        val (rows, wall, _, _, busy) = run(8, c.src, root, tag, c.salt, c.extra)
+        require(rows == c.truthRows,
+          s"$tag rows $rows != batch truth ${c.truthRows}")
+        if (r == 1) {
+          val (n, dig) = sinkDigest(root, tag)
+          require(n == c.truthRows && dig == c.truthDig,
+            s"$tag content digest $dig != batch truth ${c.truthDig}")
+          println(s"[skew] $tag content digest OK")
+        }
+        evps(c.tag) += c.events / busy
+        println(f"[skew rep $r] ${c.tag}%-14s full-pipeline ${c.events / busy}%.0f ev/s (busy $busy%.1f s, wall $wall%.1f s)")
+      }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = cfgs.map(c => c.tag -> median(evps(c.tag).toSeq)).toMap
+    val stateName =
+      if (sys.env.get("GRAFT_STATE").contains("rocksdb")) "rocksdb" else "hdfs-heap"
+    println(f"""{"stream_skew_bench":{"state_store":"$stateName","games":$games,"hot_games":$hotGames,"per_game":$perGame,"uniform_events":${uni.size},"skew_events":$skewTotal,"hot_shard_pct":${hotEv.size * 100 / skewTotal},"hot_file_mb":${hotFileBytes / 1024 / 1024},"reps":$reps,"uniform_evps":${med("uniform")}%.0f,"skew_splittable_evps":${med("skew_split")}%.0f,"skew_hotshard_evps":${med("skew_hot")}%.0f,"skew_hotshard_salted_evps":${med("skew_hot_salt")}%.0f,"skew_splittable_ratio":${med("skew_split") / med("uniform")}%.3f,"skew_hotshard_ratio":${med("skew_hot") / med("uniform")}%.3f,"skew_hotshard_salted_ratio":${med("skew_hot_salt") / med("uniform")}%.3f,"digests_equal":true}}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) { skewMain(args.drop(1)); return }
     val games = if (args.length > 0) args(0).toInt else 1024
     val reps = if (args.length > 1) args(1).toInt else 2
     val perGame = if (args.length > 2) args(2).toInt else 400
@@ -126,8 +292,6 @@ object StreamBench {
     }.toVector
     val truthRows = truthActions.size
     // content digest over EVERY field of every row (order-independent)
-    def digestOf(hs: Seq[Long]): Long =
-      hs.sorted.foldLeft(17L)((a, b) => a * 31L + b)
     val truthDigest = digestOf(truthActions.map(_.hashCode.toLong))
     println(s"[sbench] batch truth action rows = $truthRows digest=$truthDigest")
     // time-ordered files so each trigger advances the watermark
@@ -261,6 +425,9 @@ object StreamBench {
     val fullMedHi = median(fullHiR.toSeq)
     // PRIMARY north-rule metric: median of paired-rep full-pipeline ratios
     val fullMedEff = median(fullEffR.toSeq)
-    println(f"""{"stream_bench":{"games":$games,"event_rows":$nEvents,"action_rows":$rows,"cores_lo":2,"cores_hi":8,"wall_rows_per_sec_lo":${rows / secLo}%.1f,"wall_rows_per_sec_hi":${rows / secHi}%.1f,"wall_efficiency":$eff%.3f,"sustained_events_per_sec_lo":$susLo%.1f,"sustained_events_per_sec_hi":$susHi%.1f,"sustained_efficiency":$susEff%.3f,"sustained_median_lo":$medLo%.1f,"sustained_median_hi":$medHi%.1f,"paired_rep_efficiencies":[${effR.map(e => f"$e%.3f").mkString(",")}],"sustained_median_efficiency":$medEff%.3f,"full_pipeline_lo":$fullMedLo%.1f,"full_pipeline_hi":$fullMedHi%.1f,"full_pipeline_rep_efficiencies":[${fullEffR.map(e => f"$e%.3f").mkString(",")}],"full_pipeline_median_efficiency":$fullMedEff%.3f,"reps":$reps}}""")
+    val stateName =
+      if (sys.env.get("GRAFT_STATE").contains("rocksdb")) "rocksdb"
+      else "hdfs-heap"
+    println(f"""{"stream_bench":{"state_store":"$stateName","games":$games,"event_rows":$nEvents,"action_rows":$rows,"cores_lo":2,"cores_hi":8,"wall_rows_per_sec_lo":${rows / secLo}%.1f,"wall_rows_per_sec_hi":${rows / secHi}%.1f,"wall_efficiency":$eff%.3f,"sustained_events_per_sec_lo":$susLo%.1f,"sustained_events_per_sec_hi":$susHi%.1f,"sustained_efficiency":$susEff%.3f,"sustained_median_lo":$medLo%.1f,"sustained_median_hi":$medHi%.1f,"paired_rep_efficiencies":[${effR.map(e => f"$e%.3f").mkString(",")}],"sustained_median_efficiency":$medEff%.3f,"full_pipeline_lo":$fullMedLo%.1f,"full_pipeline_hi":$fullMedHi%.1f,"full_pipeline_rep_efficiencies":[${fullEffR.map(e => f"$e%.3f").mkString(",")}],"full_pipeline_median_efficiency":$fullMedEff%.3f,"reps":$reps}}""")
   }
 }

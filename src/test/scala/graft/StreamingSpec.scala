@@ -14,15 +14,33 @@ import java.sql.Timestamp
 /** Streaming semantics (SURVEY.md §5.3-5.4): batch/streaming equivalence
   * under arbitrary micro-batch slicing, watermark late-drop, duplicate
   * delivery, exactly-once sink idempotency, checkpoint resume.
+  *
+  * Abstract so the whole contract runs once per state-store provider:
+  * [[StreamingSpec]] on the default heap-backed HDFS provider and
+  * [[RocksDBStreamingSpec]] on RocksDB — the provider the design scale
+  * requires (state must spill off-heap at 10^12 sequences), whose
+  * serialization path the flat-array GameBuf encoder has to survive
+  * byte-for-byte. Each suite gets its own `newSession()` so the
+  * provider conf (a per-query setting read at stream start) cannot
+  * leak across suites running in the same JVM.
   */
-class StreamingSpec extends AnyFunSuite {
+abstract class StreamingContractSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  /** extra session confs — the state-store provider selector. */
+  protected def sessionConfs: Map[String, String] = Map.empty
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+      .newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    sessionConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
 
   private val Base = 1704067200000L
   private def sentinel(i: Int, plusDays: Int): SpadlStream.StreamEvent =
@@ -508,5 +526,25 @@ class StreamingSpec extends AnyFunSuite {
     val truth = batchTruth(Seq(g))
     assert(flushed.sortBy(key) == truth.sortBy(key),
       s"timeout flush ${flushed.size} rows != batch truth ${truth.size}")
+  }
+}
+
+/** The streaming contract on the default heap-backed HDFS state store. */
+class StreamingSpec extends StreamingContractSpec
+
+/** The identical contract on the RocksDB state-store provider — the
+  * off-heap spill path the 10^12-sequence design scale requires
+  * (round-3 VERDICT #1). Every parity, watermark, sink and
+  * kill/restart test re-runs here, so the GameBuf flat-array encoding
+  * is validated against RocksDB's byte-blob value codec and the
+  * checkpoint-restore path, not just the heap provider's object map.
+  */
+class RocksDBStreamingSpec extends StreamingContractSpec {
+  override protected def sessionConfs: Map[String, String] = Map(
+    graft.streaming.StateStores.ProviderConf ->
+      graft.streaming.StateStores.RocksDBProvider)
+
+  test("suite session really selects the RocksDB provider") {
+    assert(graft.streaming.StateStores.active(spark) == "rocksdb")
   }
 }
