@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * one-empty-file-per-batch layout needs neither append (absent on S3A)
   * nor rename, making each commit a single idempotent PUT.
   */
-final class ExactlyOnceSink(outDir: String) extends Serializable {
+final class ExactlyOnceSink(outDir: String,
+    verifyCoLocation: Boolean = false) extends Serializable {
 
   private def hadoopConf: Configuration =
     SparkSession.getActiveSession
@@ -65,6 +66,26 @@ final class ExactlyOnceSink(outDir: String) extends Serializable {
     }(org.apache.spark.sql.Encoders.row(schema))
     deduped.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/batch_id=$batchId")
+    // the partition-local guard's CONTRACT is that upstream co-locates
+    // each key in one partition (the stateful operator's keyed output
+    // does). A refactor that slips a repartition in front of the sink
+    // would silently re-admit in-batch duplicates — with
+    // `verifyCoLocation` the violation fails LOUDLY *before* the commit
+    // marker lands, so the bad batch stays invisible to readers. This is
+    // a validation mode (tests / canary deployments): it re-reads the
+    // written batch, which the production hot path must not pay per
+    // micro-batch.
+    if (verifyCoLocation) {
+      val spark = batch.sparkSession
+      val written = spark.read.parquet(s"$outDir/batch_id=$batchId")
+      val n = written.count()
+      val nKeys = written.select("game_id", "action_idx").distinct().count()
+      if (n != nKeys) throw new IllegalStateException(
+        s"ExactlyOnceSink co-location contract violated in batch $batchId: " +
+          s"$n rows but $nKeys distinct (game_id, action_idx) keys — an " +
+          "upstream repartition split duplicate keys across partitions; " +
+          "batch left uncommitted")
+    }
     val fs = commitsDir.getFileSystem(hadoopConf)
     fs.mkdirs(commitsDir)
     fs.create(new Path(commitsDir, batchId.toString), true).close()

@@ -13,11 +13,24 @@ object StreamJob {
   /** Per-round metrics listener: rows/sec, state size, emitted counts —
     * the "per-partition lineage + emitted-row metrics" of the north rule
     * (lineage columns land in the sink; aggregate progress logs here).
+    * When [[start]] is given the listener it also wires in the engine's
+    * late-row / lost-keypass-upgrade accumulators (round-3 VERDICT #8),
+    * so a parity-margin break is visible in the per-batch telemetry line
+    * instead of only inside state unit tests.
     */
   final class EmitMetricsListener extends StreamingQueryListener {
     @volatile var totalInputRows = 0L
     @volatile var totalStateRows = 0L
     @volatile var batches = 0L
+    @volatile private[streaming] var lateAcc:
+        Option[org.apache.spark.util.LongAccumulator] = None
+    @volatile private[streaming] var lostAcc:
+        Option[org.apache.spark.util.LongAccumulator] = None
+    /** raw rows dropped below the emission frontier (routine lateness). */
+    def lateRows: Long = lateAcc.map(_.sum).getOrElse(0L)
+    /** keypass upgrades that missed their already-emitted region — any
+      * nonzero value is a parity loss vs the batch path. */
+    def lostUpgrades: Long = lostAcc.map(_.sum).getOrElse(0L)
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(
@@ -26,6 +39,9 @@ object StreamJob {
       totalInputRows += e.progress.numInputRows
       val so = e.progress.stateOperators
       if (so.nonEmpty) totalStateRows = so.map(_.numRowsTotal).sum
+      println(s"[graft-stream-metrics] batch=${e.progress.batchId} " +
+        s"inputRows=${e.progress.numInputRows} stateRows=$totalStateRows " +
+        s"lateRows=$lateRows lostUpgrades=$lostUpgrades")
     }
     override def onQueryTerminated(
         e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -54,7 +70,8 @@ object StreamJob {
       watermarkDelay: String = "10 seconds",
       sessionGap: String = "10 minutes",
       trigger: Trigger = Trigger.AvailableNow(),
-      saltParts: Option[Int] = None): StreamingQuery = {
+      saltParts: Option[Int] = None,
+      metrics: Option[EmitMetricsListener] = None): StreamingQuery = {
     val sinkWrite: (org.apache.spark.sql.DataFrame, Long) => Unit =
       if (outDir.startsWith("iceberg:")) {
         val merge = new IcebergMergeSink(outDir.stripPrefix("iceberg:"))
@@ -67,9 +84,15 @@ object StreamJob {
     // skew; the stateful stage re-keys by doc_id, so correctness is
     // unaffected (asserted by the slicing-equivalence tests)
     val spread = saltParts.map(saltedSpread(events, _)).getOrElse(events)
+    // telemetry accumulators, surfaced per batch by the metrics listener
+    val lateAcc = metrics.map(_ =>
+      spark.sparkContext.longAccumulator("graft.late_rows"))
+    val lostAcc = metrics.map(_ =>
+      spark.sparkContext.longAccumulator("graft.lost_kp_upgrades"))
+    metrics.foreach { m => m.lateAcc = lateAcc; m.lostAcc = lostAcc }
     val valued: Dataset[ValuedAction] =
       SpadlStream.valuedActions(spark, spread, keypass, watermarkDelay,
-        sessionGap)
+        sessionGap, lateCounter = lateAcc, lostUpgrades = lostAcc)
     valued.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

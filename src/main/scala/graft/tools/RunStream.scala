@@ -65,7 +65,7 @@ object RunStream {
     (1 to 3).foreach(i => spark.createDataset(Seq(sentinel(i, 29 + i)))
       .write.parquet(s"$srcDir/s$i"))
     val q2 = StreamJob.start(spark, stream, outDir, ck,
-      trigger = Trigger.AvailableNow())
+      trigger = Trigger.AvailableNow(), metrics = Some(metrics))
     q2.awaitTermination(180000); q2.stop()
 
     val out = sink.read(spark)
@@ -76,7 +76,7 @@ object RunStream {
     }.sum
     println(s"[stream] final sink_rows=${out.count()} batch_truth_rows=$batchRows")
     println(s"[stream] duplicate keys=${out.count() - out.select("game_id", "action_idx").distinct().count()}")
-    println(s"[stream] committed_batches=${sink.committedBatchIds().size} input_rows_seen=${metrics.totalInputRows} state_rows_last=${metrics.totalStateRows}")
+    println(s"[stream] committed_batches=${sink.committedBatchIds().size} input_rows_seen=${metrics.totalInputRows} state_rows_last=${metrics.totalStateRows} late_rows=${metrics.lateRows} lost_kp_upgrades=${metrics.lostUpgrades}")
     out.groupBy("_batch_id").count().orderBy(col("_batch_id"))
       .show(50, false)
     out.orderBy(col("game_id"), col("action_idx"))

