@@ -17,10 +17,20 @@ object StreamBench {
 
   private def session(cores: Int,
       extra: Map[String, String] = Map.empty): SparkSession = {
+    // SPARK_GRAFT_STREAM_PARTS pins the shuffle/state partition count
+    // ACROSS parallelism levels. A production N -> 4N executor scaling run
+    // keeps the query's partitioning constant and varies only the cores —
+    // partitions-follow-cores was harmless for the heap state store
+    // (per-partition cost ~linear in keys), but a RocksDB instance's cost
+    // is super-linear in keys-per-partition (memtable flushes + L0
+    // compaction: measured 154 s vs 40 s total task time for IDENTICAL
+    // work at 2 vs 8 partitions over a 2.46M-row join state), so the
+    // partition count must be the query's property, not the cluster's.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", cores.toString)
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-streambench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.driver.maxResultSize", "4g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -101,8 +111,13 @@ object StreamBench {
     val t0 = System.nanoTime()
     val q = StreamJob.start(spark, stream, outDir, ck,
       trigger = Trigger.AvailableNow(), saltParts = saltParts)
-    q.awaitTermination(580000)
+    val finished = q.awaitTermination(
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_TIMEOUT_MS", "580000").toLong)
     q.stop()
+    // a timed-out run has an empty/partial sink; fail HERE with the real
+    // cause instead of a confusing rows-mismatch later
+    require(finished, s"stream run '$tag' at $cores cores did not finish " +
+      "within the timeout (raise SPARK_GRAFT_STREAM_TIMEOUT_MS)")
     val sec = (System.nanoTime() - t0) / 1e9
     val rows = new ExactlyOnceSink(outDir).read(spark).count()
     spark.stop()

@@ -651,9 +651,12 @@ class StreamingSpec extends StreamingContractSpec
   * checkpoint-restore path, not just the heap provider's object map.
   */
 class RocksDBStreamingSpec extends StreamingContractSpec {
-  override protected def sessionConfs: Map[String, String] = Map(
-    graft.streaming.StateStores.ProviderConf ->
-      graft.streaming.StateStores.RocksDBProvider)
+  // the PRODUCTION-TUNED RocksDB configuration (changelog checkpointing +
+  // no row tracking) — the same confs the benches run, so the contract
+  // (incl. checkpoint-restore, which changelog checkpointing reshapes)
+  // is validated on the configuration we'd actually deploy
+  override protected def sessionConfs: Map[String, String] =
+    graft.streaming.StateStores.RocksDBConfs
 
   test("suite session really selects the RocksDB provider") {
     assert(graft.streaming.StateStores.active(spark) == "rocksdb")
