@@ -151,7 +151,71 @@ object Similarity {
     // one bounded bucket self-join — never an all-pairs block.
     QueryDef("q40_embedding_neardup",
       (s, d) => neardupLsh(s, T.load(s, d, "embeddings")),
-      Some(neardupOracle))
+      Some(neardupOracle)),
+
+    // ------------- near-dup SURVIVOR selection (the dedup DECISION on top
+    // of q40's pair detection): drop every vector that has a LOWER-id
+    // near-duplicate neighbour, keep the rest. This is the keep-first
+    // policy applied non-transitively — a chain a<b<c of pairwise dups
+    // keeps only a (b and c each have a lower neighbour), which over-drops
+    // vs greedy clustering but is deterministic, embarrassingly parallel
+    // (one anti-join, no iterative connected components), and exactly
+    // replayable by the oracle. At 100 TB: pairs are LSH-bounded (q40),
+    // the drop set is ids only, and the anti-join broadcasts when small.
+    QueryDef("q52_neardup_survivors",
+      (s, d) => {
+        val e = T.load(s, d, "embeddings")
+        val dropped = neardupLsh(s, e)
+          .select(col("vec_b").as("vec_id")).distinct()
+        e.join(dropped, Seq("vec_id"), "left_anti")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_survivors"),
+            min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+          .orderBy(col("label"))
+      },
+      Some(survivorsOracle)),
+
+    // ------------- int8 scalar quantization error (embedding compression
+    // audit): each component is quantized to q = clamp(round(v / (1/32)),
+    // -128..127) — a FIXED-POINT grid, so the whole account runs on exact
+    // micro-ints (v6 = round(v*1e6), step = 31250 µunits = 1/32) and the
+    // reconstruction error |v6 - q*31250| is an exact integer on both
+    // engines; no float accumulation order can diverge. Per-label output:
+    // component count, clip count, total + max absolute error. At 100 TB
+    // this is one narrow posexplode + codegen'd aggregation with map-side
+    // partials — a single shuffle of per-label partials.
+    QueryDef("q53_quantize_error",
+      (s, d) => {
+        val ex = T.load(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("label"),
+            round(col("v").cast("double") * 1000000, 0).cast("long").as("v6"))
+          .withColumn("qr",
+            round(col("v6").cast("double") / 31250.0, 0).cast("long"))
+          .withColumn("q", greatest(lit(-128L), least(lit(127L), col("qr"))))
+          .withColumn("err6", abs(col("v6") - col("q") * 31250L))
+        ex.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_comp"),
+            sum(when(col("qr") > 127 || col("qr") < -128, 1L).otherwise(0L))
+              .as("n_clipped"),
+            sum(col("err6")).as("sum_err6"),
+            max(col("err6")).as("max_err6"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH ex AS (SELECT label,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v6
+          FROM embeddings),
+        qq AS (SELECT label, v6,
+            CAST(round(v6 / 31250.0, 0) AS BIGINT) AS qr
+          FROM ex),
+        c AS (SELECT label, v6, qr,
+            greatest(-128, least(127, qr)) AS q
+          FROM qq)
+        SELECT label, count(*) AS n_comp,
+          CAST(sum(CASE WHEN qr > 127 OR qr < -128 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+          CAST(sum(abs(v6 - q * 31250)) AS BIGINT) AS sum_err6,
+          CAST(max(abs(v6 - q * 31250)) AS BIGINT) AS max_err6
+        FROM c GROUP BY label ORDER BY label"""))
   )
 
   /** Integer-LCG hyperplane component (scaled by 10^6), identical formula
@@ -248,10 +312,12 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** DuckDB mirror of neardupLsh — same LCG hyperplanes, banding, bucket
-    * cap and cosine verify, generated per-plane.
+  /** Shared CTE chain replaying neardupLsh in DuckDB — same LCG
+    * hyperplanes, banding, bucket cap and cosine verify; the final `pairs`
+    * CTE holds the thresholded near-dup pairs, reused by the q40 and q52
+    * oracles.
     */
-  private lazy val neardupOracle: String = {
+  private lazy val neardupCtes: String = {
     val bits = NdPlanes / NdBands
     val projTerms = intLshSigSql(NdPlanes)
     val cos =
@@ -262,7 +328,7 @@ object Similarity {
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
         |       sqrt(list_sum(list_transform(eb.embedding,
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)""".stripMargin
-    s"""WITH s AS (
+    s"""s AS (
        |  SELECT vec_id, $projTerms AS sig FROM embeddings),
        |banded AS (
        |  SELECT vec_id, band,
@@ -274,14 +340,31 @@ object Similarity {
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM sized a JOIN sized b
        |    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
-       |  WHERE a.bn <= $NdBucketCap AND b.bn <= $NdBucketCap)
-       |SELECT vec_a, vec_b, $cos AS cosine
-       |FROM cand
-       |JOIN embeddings ea ON ea.vec_id = vec_a
-       |JOIN embeddings eb ON eb.vec_id = vec_b
-       |WHERE $cos >= $NdThreshold
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |  WHERE a.bn <= $NdBucketCap AND b.bn <= $NdBucketCap),
+       |pairs AS (
+       |  SELECT vec_a, vec_b, $cos AS cosine
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = vec_a
+       |  JOIN embeddings eb ON eb.vec_id = vec_b
+       |  WHERE $cos >= $NdThreshold)""".stripMargin
   }
+
+  /** DuckDB mirror of neardupLsh. */
+  private lazy val neardupOracle: String =
+    s"""WITH $neardupCtes
+       |SELECT vec_a, vec_b, cosine FROM pairs
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** DuckDB mirror of the q52 survivor rule: drop vec_ids with any
+    * lower-id near-dup neighbour (exactly the `vec_b` side of `pairs`).
+    */
+  private lazy val survivorsOracle: String =
+    s"""WITH $neardupCtes
+       |SELECT label, count(*) AS n_survivors,
+       |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+       |FROM embeddings
+       |WHERE vec_id NOT IN (SELECT DISTINCT vec_b FROM pairs)
+       |GROUP BY label ORDER BY label""".stripMargin
 
   /** ANN bucket summary from the shared integer-LCG signature (8 planes ->
     * up to 256 buckets). Deterministic and DuckDB-replayable — see

@@ -280,7 +280,35 @@ object TextOps {
         SELECT c.doc_id, count(DISTINCT c.gram) AS n_shared_grams,
           count(DISTINCT e.eval_doc) AS n_eval_docs
         FROM c JOIN e ON c.gram = e.gram
-        GROUP BY c.doc_id ORDER BY c.doc_id"""))
+        GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
+    // --------------- deterministic train/val/test split (80/10/10): the
+    // assignment is a pure function of doc_id (16-bit md5 prefix, domain
+    // 'split|' distinct from q49's 'strat|'), so it is REPRODUCIBLE across
+    // reruns/backfills, pushdown-able (a training reader filters its split
+    // at the scan), and leakage-free by construction — a document can
+    // never change split when the corpus grows, unlike any rand() or
+    // row_number() split. Per-split x lang counts audit the balance.
+    QueryDef("q51_hash_split",
+      (s, d) => {
+        val h16 = conv(substring(md5(
+          concat(lit("split|"), col("doc_id").cast("string"))), 1, 4),
+          16, 10).cast("long")
+        T.load(s, d, "documents")
+          .withColumn("split",
+            when(h16 < 52429, "train").when(h16 < 58982, "val")
+              .otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some("""WITH h AS (SELECT lang, n_chars,
+          CAST('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS h16
+        FROM documents)
+        SELECT CASE WHEN h16 < 52429 THEN 'train'
+            WHEN h16 < 58982 THEN 'val' ELSE 'test' END AS split,
+          lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM h GROUP BY 1, lang ORDER BY split, lang"""))
   ) :+ frameSample
 
 

@@ -15,6 +15,31 @@ import java.sql.Timestamp
 object StreamBench {
   private val Base = 1704067200000L
 
+  /** bench scratch root (corpus, sinks, checkpoints). SPARK_GRAFT_BENCH_ROOT
+    * relocates it (e.g. to a tmpfs) together with SPARK_GRAFT_LOCAL_DIR when
+    * isolating compute scaling from the sandbox's single shared disk.
+    */
+  /** Idle pause between reps (SPARK_GRAFT_REP_COOLDOWN_MS). This sandbox
+    * throttles after minutes of SUSTAINED wide load (short pure-CPU bursts
+    * scale at 0.94-0.97 while rep 3+ of a long bench degrades 2-4x) — a
+    * cooldown lets the host's CPU budget recover so reps measure the
+    * ENGINE, not the budget-exhaustion dynamics. Irrelevant on real
+    * clusters; pure measurement hygiene here.
+    */
+  private def coolDown(): Unit =
+    sys.env.get("SPARK_GRAFT_REP_COOLDOWN_MS").map(_.toLong)
+      .filter(_ > 0).foreach { ms =>
+        println(s"[sbench] cooldown ${ms}ms"); Thread.sleep(ms)
+      }
+
+  private def benchRoot(prefix: String): String =
+    sys.env.get("SPARK_GRAFT_BENCH_ROOT") match {
+      case Some(d) =>
+        val f = new java.io.File(d); f.mkdirs()
+        java.nio.file.Files.createTempDirectory(f.toPath, prefix).toString
+      case None => java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+
   private def session(cores: Int,
       extra: Map[String, String] = Map.empty): SparkSession = {
     // SPARK_GRAFT_STREAM_PARTS pins the shuffle/state partition count
@@ -27,10 +52,18 @@ object StreamBench {
     // work at 2 vs 8 partitions over a 2.46M-row join state), so the
     // partition count must be the query's property, not the cluster's.
     val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", cores.toString)
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-streambench-$cores")
       .config("spark.sql.shuffle.partitions", parts)
+    // SPARK_GRAFT_LOCAL_DIR relocates executor-local scratch (shuffle
+    // files AND the RocksDB working directories) — point it at a tmpfs to
+    // model per-executor NVMe when the shared single virtual disk of this
+    // sandbox becomes the bottleneck all parallelism levels serialize on
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach { d =>
+      new java.io.File(d).mkdirs(); b.config("spark.local.dir", d)
+    }
+    val s = b
       .config("spark.driver.maxResultSize", "4g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -165,7 +198,7 @@ object StreamBench {
     val perGame = if (args.length > 2) args(2).toInt else 800
     val hotGames = 8 // 10x-sized keys
     def sizeOf(i: Int): Int = if (i < hotGames) perGame * 10 else perGame
-    val root = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val root = benchRoot("graft_skew")
     val uniSrc = s"$root/src_uniform"
     val skewSrc = s"$root/src_skew"
 
@@ -258,6 +291,7 @@ object StreamBench {
     val evps = cfgs.map(_.tag -> scala.collection.mutable.ArrayBuffer
       .empty[Double]).toMap
     (1 to reps).foreach { r =>
+      if (r > 1) coolDown()
       cfgs.foreach { c =>
         val tag = s"${c.tag}_r$r"
         val (rows, wall, _, _, busy) = run(8, c.src, root, tag, c.salt, c.extra)
@@ -288,7 +322,7 @@ object StreamBench {
     val games = if (args.length > 0) args(0).toInt else 1024
     val reps = if (args.length > 1) args(1).toInt else 2
     val perGame = if (args.length > 2) args(2).toInt else 400
-    val root = java.nio.file.Files.createTempDirectory("graft_sbench").toString
+    val root = benchRoot("graft_sbench")
     val srcDir = s"$root/src"
 
     val prep = session(8)
@@ -357,6 +391,7 @@ object StreamBench {
     val fullHiR = scala.collection.mutable.ArrayBuffer[Double]()
     val fullEffR = scala.collection.mutable.ArrayBuffer[Double]()
     (1 to reps).foreach { r =>
+      if (r > 1) coolDown()
       // alternate which side runs first so a monotone host-throttle drift
       // within a pair can't systematically favour one side
       val loFirst = r % 2 == 1

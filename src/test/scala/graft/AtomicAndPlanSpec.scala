@@ -153,6 +153,28 @@ class AtomicAndPlanSpec extends AnyFunSuite {
       "q48 must broadcast the probed-cluster list + query vector")
     assert(p48.contains("TakeOrderedAndProject"),
       "q48 top-k must be a TakeOrdered, not a global sort")
+    // q51: the split assignment is a stateless hash classify — exactly ONE
+    // hash exchange (the split x lang aggregation), nothing else
+    val q51 = SparkEntry.queries("q51_hash_split")(spark,
+      "/root/testdata/sf0.001")
+    val p51 = q51.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p51).size == 1,
+      s"q51 must shuffle exactly once (the aggregation):\n$p51")
+    // q53: micro-int quantization audit — posexplode + map-side partial
+    // aggregation, ONE hash exchange by label
+    val q53 = SparkEntry.queries("q53_quantize_error")(spark,
+      "/root/testdata/sf0.001")
+    val p53 = q53.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p53).size == 1,
+      s"q53 must shuffle exactly once (the label aggregation):\n$p53")
+    // q52: the survivor selection is an ANTI-join of the corpus against the
+    // (small) dropped-id list — it must stay an anti-join, not materialize
+    // survivors via a positive join + distinct
+    val q52 = SparkEntry.queries("q52_neardup_survivors")(spark,
+      "/root/testdata/sf0.001")
+    val p52 = q52.queryExecution.executedPlan.toString
+    assert(p52.contains("LeftAnti"),
+      s"q52 must drop via anti-join:\n$p52")
   }
 
   test("plan: modelData = stacked windows over ONE exchange by game") {
