@@ -43,7 +43,21 @@ object SpadlQueries {
     import graft.streaming.SpadlStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
-    implicit val sq = spark.sqlContext
+    // the state partition count is fixed at query START from the session
+    // conf; at the driver's local[32]/32 every micro-batch pays 32-way
+    // state-store fixed cost for a 5k-row fixture corpus (observed 62 s for
+    // the whole query). ONE partition keeps the plan identical in shape and
+    // the rows bitwise-equal (StreamingSpec pins stream == batch) at a
+    // fraction of the constant — each micro-batch commits 4 join-state
+    // stores + 1 fmgws store instead of 4x that many delta files. The knob
+    // lives on a CLONED session (`newSession()` shares the SparkContext but
+    // isolates SQLConf), so a concurrent query on the caller's session
+    // never observes a mutated global (round-4 VERDICT #7). Multi-partition
+    // state is exercised by the whole StreamingSpec suite and StreamBench;
+    // this clone only tames the 5k-row driver query's per-batch fixed cost.
+    val qs = spark.newSession()
+    qs.conf.set("spark.sql.shuffle.partitions", "1")
+    implicit val sq = qs.sqlContext
     val base = 1704067200000L
     val games = FixtureGen.corpus(NGames, EventsPerGame)
     val all = games.flatMap(g => SpadlStream.toStreamEvents(g.doc, base))
@@ -52,23 +66,13 @@ object SpadlQueries {
     val kpMem = MemoryStream[(String, Int, String, Timestamp)]
     val kpDf = kpMem.toDS().toDF("doc_id", "event_id", "pass_type",
       "event_time")
-    val out = SpadlStream.valuedActions(spark, mem.toDS(), Some(kpDf))
+    val out = SpadlStream.valuedActions(qs, mem.toDS(), Some(kpDf))
     val sinkName = "graft_stream_actions_sink"
-    // the state partition count is fixed at query START from the session
-    // conf; at the driver's local[32]/32 every micro-batch pays 32-way
-    // state-store fixed cost for a 5k-row fixture corpus (observed 62 s for
-    // the whole query). ONE partition keeps the plan identical in shape and
-    // the rows bitwise-equal (StreamingSpec pins stream == batch) at a
-    // fraction of the constant — each micro-batch commits 4 join-state
-    // stores + 1 fmgws store instead of 4x that many delta files; restored
-    // right after start. (Multi-partition state is exercised by the whole
-    // StreamingSpec suite and StreamBench; this knob only tames the
-    // 5k-row driver query's per-batch fixed cost.)
     val dbg = sys.env.contains("GRAFT_STREAM_QUERY_DEBUG")
     val t0 = System.nanoTime()
     def mark(what: String): Unit = if (dbg)
       println(f"[streamActions +${(System.nanoTime() - t0) / 1e9}%.2fs] $what")
-    if (dbg) spark.streams.addListener(
+    if (dbg) qs.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
@@ -78,18 +82,20 @@ object SpadlQueries {
     // every micro-batch here is ~0.8 s of pure machinery (state-store
     // commits for 4 join stores + 1 fmgws store, offset/commit WAL, plan +
     // task dispatch) against a 5k-row corpus, so the query's wall time is
-    // simply 0.8 * batchCount. The minimal schedule is FOUR batches
-    // (round-3 VERDICT #4, down from seven):
+    // simply 0.8 * batchCount. The minimal schedule is TWO batches
+    // (round-4 VERDICT #3, down from four — the state function's
+    // immediate-close path flushes a session in the same batch whose
+    // watermark passed its close time, instead of re-arming a timeout
+    // that needed one more wm advance):
     //   batch 0: keypasses + all events + sentinel #1, queued BEFORE the
     //            query starts so the first trigger takes everything (a
     //            post-start addData race used to split this into 3 batches);
     //            the watermark after it is already past every event;
     //   batch 1: the no-data batch the wm advance schedules — the join
     //            releases its held unmatched lefts into the state operator,
-    //            which emits every stable action;
-    //   batch 2: sentinel #2 advances the wm once more (the keys that got
-    //            join-released rows in batch 1 re-armed their timeouts);
-    //   batch 3: no-data batch — session timeouts fire, tails flush.
+    //            which sees the frontier past every session close and
+    //            emits everything, removing all state (no timeouts armed,
+    //            so no further batches run).
     // Ordering is irrelevant to correctness (that's the watermark's job, and
     // StreamingSpec pins slicing-equivalence exhaustively); this is purely
     // the cheapest path through the trigger machinery.
@@ -104,26 +110,36 @@ object SpadlQueries {
     mem.addData(all)
     mem.addData(sentinel(1, 30))
     kpMem.addData(("998", -1, "none", new Timestamp(base + 30 * 86400000L)))
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    val q =
-      try out.writeStream.outputMode("append")
-        .format("memory").queryName(sinkName).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    // throwaway checkpoint on tmpfs when available: this harness query's
+    // per-batch cost is dominated by checkpoint I/O fsyncs (5 state-store
+    // commits + offset/commit WAL per batch) that the default disk-backed
+    // temp dir pays for nothing — the memory-sink query is never resumed.
+    // Durable production checkpoints are StreamJob's explicit
+    // checkpointDir; crash/restart resumability is proven there.
+    val ckRoot =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ck = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(ckRoot), "graft_stream_ck")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .format("memory").queryName(sinkName).start()
     try {
       q.processAllAvailable()
       mark("ingest + sentinel #1 drained")
-      mem.addData(sentinel(2, 31))
-      kpMem.addData(("998", -1, "none", new Timestamp(base + 31 * 86400000L)))
-      q.processAllAvailable()
-      mark("sentinel #2 drained")
-      val rows = spark.table(sinkName).as[graft.model.ValuedAction]
+      val rows = qs.table(sinkName).as[graft.model.ValuedAction]
         .collect().toSeq
       mark(s"collected ${rows.size} rows")
       spark.createDataset(rows).toDF()
     } finally {
       q.stop()
-      spark.catalog.dropTempView(sinkName)
+      qs.catalog.dropTempView(sinkName)
+      // best-effort cleanup of the throwaway tmpfs checkpoint
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ck).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
     }
   }
 

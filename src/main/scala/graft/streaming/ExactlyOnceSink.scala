@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * nor rename, making each commit a single idempotent PUT.
   */
 final class ExactlyOnceSink(outDir: String,
-    verifyCoLocation: Boolean = false) extends Serializable {
+    verifyCoLocation: Boolean = true) extends Serializable {
 
   private def hadoopConf: Configuration =
     SparkSession.getActiveSession
@@ -59,32 +59,83 @@ final class ExactlyOnceSink(outDir: String,
     val schema = withLineage.schema
     val gi = schema.fieldIndex("game_id")
     val ai = schema.fieldIndex("action_idx")
-    val deduped = withLineage.mapPartitions { it =>
-      val seen = new java.util.HashSet[Long]()
-      it.filter(r => seen.add((r.getInt(gi).toLong << 32) |
-        (r.getInt(ai).toLong & 0xffffffffL)))
-    }(org.apache.spark.sql.Encoders.row(schema))
-    deduped.write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/batch_id=$batchId")
     // the partition-local guard's CONTRACT is that upstream co-locates
     // each key in one partition (the stateful operator's keyed output
     // does). A refactor that slips a repartition in front of the sink
     // would silently re-admit in-batch duplicates — with
-    // `verifyCoLocation` the violation fails LOUDLY *before* the commit
-    // marker lands, so the bad batch stays invisible to readers. This is
-    // a validation mode (tests / canary deployments): it re-reads the
-    // written batch, which the production hot path must not pay per
-    // micro-batch.
-    if (verifyCoLocation) {
-      val spark = batch.sparkSession
-      val written = spark.read.parquet(s"$outDir/batch_id=$batchId")
-      val n = written.count()
-      val nKeys = written.select("game_id", "action_idx").distinct().count()
-      if (n != nKeys) throw new IllegalStateException(
-        s"ExactlyOnceSink co-location contract violated in batch $batchId: " +
-          s"$n rows but $nKeys distinct (game_id, action_idx) keys — an " +
-          "upstream repartition split duplicate keys across partitions; " +
-          "batch left uncommitted")
+    // `verifyCoLocation` (the default) the violation fails LOUDLY
+    // *before* the commit marker lands, so the bad batch stays invisible
+    // to readers. The check is a single pass piggy-backed on the dedup
+    // filter: each task ships one BitSet of the action_idx values it KEPT
+    // per game (action_idx is dense and >= 0 per game, so the payload is
+    // ~rows/8 bytes for the whole batch) through an accumulator, and the
+    // driver intersects the per-partition sets — a non-empty intersection
+    // is a key that survived the local guard in two partitions. Exact, no
+    // shuffle, no re-read of the written batch (round-4 VERDICT #6
+    // retired the former full re-read, which production had to disable).
+    val keyBits =
+      if (verifyCoLocation)
+        Some(batch.sparkSession.sparkContext
+          .collectionAccumulator[(Int, Int, Array[Long])](
+            s"graft.sink_coloc_$batchId"))
+      else None
+    val deduped = withLineage.mapPartitions { it =>
+      val seen = new java.util.HashSet[Long]()
+      val perGame = new java.util.HashMap[Int, java.util.BitSet]()
+      val filtered = it.filter { r =>
+        val g = r.getInt(gi)
+        val a = r.getInt(ai)
+        val fresh = seen.add((g.toLong << 32) | (a.toLong & 0xffffffffL))
+        if (fresh) keyBits.foreach { _ =>
+          perGame.computeIfAbsent(g, _ => new java.util.BitSet()).set(a)
+        }
+        fresh
+      }
+      keyBits match {
+        case None => filtered
+        case Some(acc) =>
+          // flush ONLY at exhaustion: a task that dies mid-partition never
+          // reports partial sets, and a retry re-reports identical ones
+          // (the driver de-dupes by (partition, game))
+          new Iterator[org.apache.spark.sql.Row] {
+            private var flushed = false
+            private val pid = org.apache.spark.TaskContext.getPartitionId()
+            override def hasNext: Boolean = {
+              val h = filtered.hasNext
+              if (!h && !flushed) {
+                flushed = true
+                perGame.forEach((g, bs) => acc.add((pid, g, bs.toLongArray)))
+              }
+              h
+            }
+            override def next(): org.apache.spark.sql.Row = filtered.next()
+          }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    deduped.write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/batch_id=$batchId")
+    keyBits.foreach { acc =>
+      import scala.jdk.CollectionConverters._
+      val byPart = new java.util.HashMap[Long, Array[Long]]()
+      acc.value.asScala.foreach { case (pid, g, words) =>
+        byPart.put((pid.toLong << 32) | (g.toLong & 0xffffffffL), words)
+      }
+      val byGame = byPart.asScala.groupBy { case (k, _) => k.toInt }
+      byGame.foreach { case (g, parts) =>
+        if (parts.size > 1) {
+          val union = new java.util.BitSet()
+          parts.values.foreach { words =>
+            val bs = java.util.BitSet.valueOf(words)
+            if (bs.intersects(union)) throw new IllegalStateException(
+              s"ExactlyOnceSink co-location contract violated in batch " +
+                s"$batchId: game $g has duplicate (game_id, action_idx) " +
+                "keys split across partitions — an upstream repartition " +
+                "scattered duplicates past the partition-local guard; " +
+                "batch left uncommitted")
+            union.or(bs)
+          }
+        }
+      }
     }
     val fs = commitsDir.getFileSystem(hadoopConf)
     fs.mkdirs(commitsDir)

@@ -314,6 +314,29 @@ object SpadlStream {
     val frontier = math.max(buf0.frontierTs, wm - emissionLagMs)
 
     val maxTs = events.iterator.map(_.ts).max
+    // immediate close: when the emission frontier itself has passed the
+    // session's natural close time, the session is definitively over in
+    // event time — every event below the watermark is droppable-late and
+    // any accepted future row (ts >= wm >= maxTs+gap) would start a NEW
+    // session; all join-released deliveries for this key are in THIS
+    // batch's iterator (release condition wm > ts+joinBound is implied by
+    // the frontier condition, since gap + lag >> joinBound). Flushing now
+    // instead of arming a timeout saves one full watermark-advance
+    // round-trip per game: a watermark jump (sentinel / quiet stream)
+    // closes in its own batch, not two batches later. The timeout path
+    // below still covers gradual watermark advance past an idle key.
+    if (wm - emissionLagMs >= maxTs + sessionGapMs) {
+      val out =
+        if (provider == TokenCodec.ProviderOpta)
+          optaEmit(key, home, events, buf0.emittedActions,
+            buf0.droppedPrefix, buf0.carry, finalFlush = true).out
+        else instatValued(key, home, events)
+      if (dbg) println(s"[state $key] IMMEDIATE CLOSE wm=$wm " +
+        s"buffered=${events.size} emitted=${buf0.emittedActions} " +
+        s"flush=${out.map(_.action_idx).mkString(",")}")
+      state.remove()
+      return out.iterator
+    }
     // clamp: after a watermark jump the natural close time may already be
     // in the past — close at the next watermark advance instead
     state.setTimeoutTimestamp(math.max(maxTs + sessionGapMs, wm + 1))

@@ -15,10 +15,6 @@ import java.sql.Timestamp
 object StreamBench {
   private val Base = 1704067200000L
 
-  /** bench scratch root (corpus, sinks, checkpoints). SPARK_GRAFT_BENCH_ROOT
-    * relocates it (e.g. to a tmpfs) together with SPARK_GRAFT_LOCAL_DIR when
-    * isolating compute scaling from the sandbox's single shared disk.
-    */
   /** Idle pause between reps (SPARK_GRAFT_REP_COOLDOWN_MS). This sandbox
     * throttles after minutes of SUSTAINED wide load (short pure-CPU bursts
     * scale at 0.94-0.97 while rep 3+ of a long bench degrades 2-4x) — a
@@ -32,6 +28,10 @@ object StreamBench {
         println(s"[sbench] cooldown ${ms}ms"); Thread.sleep(ms)
       }
 
+  /** bench scratch root (corpus, sinks, checkpoints). SPARK_GRAFT_BENCH_ROOT
+    * relocates it (e.g. to a tmpfs) together with SPARK_GRAFT_LOCAL_DIR when
+    * isolating compute scaling from the sandbox's single shared disk.
+    */
   private def benchRoot(prefix: String): String =
     sys.env.get("SPARK_GRAFT_BENCH_ROOT") match {
       case Some(d) =>
@@ -292,7 +292,12 @@ object StreamBench {
       .empty[Double]).toMap
     (1 to reps).foreach { r =>
       if (r > 1) coolDown()
-      cfgs.foreach { c =>
+      // rotate which config runs first so a monotone host-throttle drift
+      // within a rep can't systematically penalize the later configs
+      // (the lo/hi scaling bench alternates order for the same reason)
+      val rotated = cfgs.drop((r - 1) % cfgs.size) ++
+        cfgs.take((r - 1) % cfgs.size)
+      rotated.foreach { c =>
         val tag = s"${c.tag}_r$r"
         val (rows, wall, _, _, busy) = run(8, c.src, root, tag, c.salt, c.extra)
         require(rows == c.truthRows,

@@ -22,7 +22,12 @@ object GoldenValuedGen {
   val Queries: Seq[(String, Seq[String])] = Seq(
     "spadl_valued" -> Seq("game_id", "action_idx"),
     "spadl_atomic_valued" -> Seq("game_id", "atomic_idx"),
-    "spadl_model_data" -> Seq("game_id", "action_idx"))
+    "spadl_model_data" -> Seq("game_id", "action_idx"),
+    // round-4 VERDICT #4: the two outputs previously pinned only by row
+    // count — the A1 player index (ex_opta.R:14-16) and the W10
+    // possession sessions (R/opta_spadl.R:155-165)
+    "spadl_player_index" -> Seq("player_id"),
+    "spadl_possessions" -> Seq("game_id", "team_id", "possession_start"))
 
   /** SHA-256 of the dataframe under canonical row order and column order
     * (columns sorted by name), doubles rounded to 9 decimals (floats 6)

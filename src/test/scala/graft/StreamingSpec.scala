@@ -632,9 +632,11 @@ abstract class StreamingContractSpec extends AnyFunSuite {
     assert(strict.committedBatchIds() == Set(0L),
       "violating batch must stay uncommitted")
     assert(strict.read(spark).count() == rows.size)
-    // the same scattered batch through the DEFAULT sink documents why the
-    // check exists: cross-partition duplicates survive the local guard
-    val lax = new ExactlyOnceSink(s"$dir/lax")
+    // the same scattered batch with the check DISABLED documents why it
+    // exists: cross-partition duplicates survive the partition-local
+    // guard alone (the check is on by default since round 5 — it became
+    // a one-pass accumulator intersection, cheap enough for production)
+    val lax = new ExactlyOnceSink(s"$dir/lax", verifyCoLocation = false)
     lax.write(scattered, 0L)
     assert(lax.read(spark).count() == 2L * rows.size)
   }
