@@ -308,7 +308,111 @@ object TextOps {
         SELECT CASE WHEN h16 < 52429 THEN 'train'
             WHEN h16 < 58982 THEN 'val' ELSE 'test' END AS split,
           lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM h GROUP BY 1, lang ORDER BY split, lang"""))
+        FROM h GROUP BY 1, lang ORDER BY split, lang""")),
+
+    // --------------- Gopher-style repetition quality audit (Rae et al.
+    // 2021 §A1.1): per-doc top-word mass and duplicate-2-gram excess, the
+    // two cheapest repetition filters a curation pipeline runs before
+    // anything model-based. All counts are exact integers and the flag is
+    // an integer comparison (no float thresholds), so the DuckDB oracle
+    // replays it bit-for-bit. Scale shape: two explode->partial-agg
+    // cascades keyed (doc_id, term) then doc_id — map-side combine does
+    // most of the work, the final join is two co-partitioned aggregates
+    // on doc_id (AQE-planned), nothing corpus-wide ever broadcasts.
+    QueryDef("q54_repetition_quality",
+      (s, d) => {
+        val docs = T.load(s, d, "documents")
+        val ws = words(col("text"))
+        val w1 = docs.select(col("doc_id"), explode(ws).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_words"),
+            count(lit(1)).as("n_distinct_words"),
+            max(col("c")).as("top_word_n"))
+        val g2 = docs.select(col("doc_id"), explode(
+            transform(
+              when(size(ws) >= 2, sequence(lit(1), size(ws) - 1))
+                .otherwise(array().cast("array<int>")),
+              i => array_join(slice(ws, i, lit(2)), " "))).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_2grams"),
+            (sum(col("c")) - count(lit(1))).as("dup_2gram_excess"))
+        w1.join(g2, Seq("doc_id"))
+          .withColumn("flag_repetitive",
+            ((col("top_word_n") * 5 > col("n_words")) ||
+              (col("dup_2gram_excess") * 10 > col("n_2grams")))
+              .cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+            count(*) AS n_distinct_words, CAST(max(c) AS BIGINT) AS top_word_n
+          FROM wc GROUP BY doc_id),
+        g AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))) AS g
+          FROM documents),
+        gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+            CAST(sum(c) - count(*) AS BIGINT) AS dup_2gram_excess
+          FROM gc GROUP BY doc_id)
+        SELECT ws.doc_id, n_words, n_distinct_words, top_word_n, n_2grams,
+          dup_2gram_excess,
+          CAST(CASE WHEN top_word_n * 5 > n_words
+            OR dup_2gram_excess * 10 > n_2grams THEN 1 ELSE 0 END AS INT)
+            AS flag_repetitive
+        FROM ws JOIN gs ON ws.doc_id = gs.doc_id ORDER BY ws.doc_id""")),
+
+    // --------------- exact span-level dedup detector (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"): a doc's
+    // word-8-grams shared verbatim with ANY other doc, the MapReduce form
+    // of suffix-array substring dedup — gram -> doc-count via one keyed
+    // aggregation (window over the gram partition), then per-doc shared
+    // fraction. Complements q21-q26/q40 (doc-level detect) at SPAN
+    // granularity: a doc that is 50% copied from another doc but globally
+    // unique passes every doc-level filter and is caught here. Scale
+    // shape: distinct (doc, gram) -> window count over gram -> doc agg =
+    // three narrow exchanges of (doc_id, gram) pairs; the gram-keyed
+    // shuffle is the canonical substring-dedup partition and partial
+    // aggregation compacts it map-side. No all-pairs anything.
+    QueryDef("q55_span_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T.load(s, d, "documents")
+        val ws = words(col("text"))
+        val grams = docs.select(col("doc_id"), explode(
+            transform(
+              when(size(ws) >= 8, sequence(lit(1), size(ws) - 7))
+                .otherwise(array().cast("array<int>")),
+              i => array_join(slice(ws, i, lit(8)), " "))).as("gram"))
+          .distinct()
+        grams
+          .withColumn("nd",
+            count(lit(1)).over(Window.partitionBy(col("gram"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_grams"))
+          .withColumn("flag_dup",
+            (col("shared_grams") * 2 > col("n_grams")).cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 7, 0)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS gram
+          FROM documents),
+        gd AS (SELECT DISTINCT doc_id, gram FROM g),
+        n AS (SELECT doc_id, gram,
+            count(*) OVER (PARTITION BY gram) AS nd FROM gd)
+        SELECT doc_id, count(*) AS n_grams,
+          CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS shared_grams,
+          CAST(CASE WHEN CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+              AS BIGINT) * 2
+            > count(*) THEN 1 ELSE 0 END AS INT) AS flag_dup
+        FROM n GROUP BY doc_id ORDER BY doc_id"""))
   ) :+ frameSample
 
 

@@ -175,6 +175,28 @@ class AtomicAndPlanSpec extends AnyFunSuite {
     val p52 = q52.queryExecution.executedPlan.toString
     assert(p52.contains("LeftAnti"),
       s"q52 must drop via anti-join:\n$p52")
+    // q54: two explode->partial-agg cascades joined on doc_id — partial
+    // aggregation must compact map-side (no corpus broadcast, no
+    // cartesian), and the doc_id join of two co-partitioned aggregates
+    // must be a hash join, not nested-loop
+    val q54 = SparkEntry.queries("q54_repetition_quality")(spark,
+      "/root/testdata/sf0.001")
+    val p54 = q54.queryExecution.executedPlan.toString
+    assert(!p54.contains("CartesianProduct") &&
+      !p54.contains("BroadcastNestedLoopJoin"),
+      s"q54 must not cross-join:\n$p54")
+    assert(p54.contains("partial_count") || p54.contains("partial"),
+      s"q54 aggregations must have map-side partials:\n$p54")
+    // q55: the gram-frequency count must be ONE window over the
+    // gram-keyed exchange (the canonical substring-dedup partition) —
+    // never a gram self-join, never a corpus broadcast
+    val q55 = SparkEntry.queries("q55_span_dedup")(spark,
+      "/root/testdata/sf0.001")
+    val p55 = q55.queryExecution.executedPlan.toString
+    assert(p55.contains("Window"),
+      s"q55 gram count must be a window, not a self-join:\n$p55")
+    assert(!p55.contains("Join"),
+      s"q55 must contain no join at all:\n$p55")
   }
 
   test("plan: modelData = stacked windows over ONE exchange by game") {
