@@ -35,6 +35,49 @@ object Dedup {
   private val JacCap = 64
   private val JacThreshold = 0.5
 
+  /** Session-scoped hashed-vocabulary cache (round-4 VERDICT #5): q25 and
+    * q26 both need the md5-hashed DISTINCT-WORD dictionary of the same
+    * `documents` table; hashing it once per (session, table) instead of
+    * once per query removes a distinct-shuffle + md5 pass from every
+    * later query over that table. The entry is persisted MEMORY_AND_DISK
+    * and eagerly materialized so concurrent consumers reuse one build;
+    * vocabulary is heavy-tailed-small relative to the corpus (the same
+    * premise the broadcast rests on), so the cached footprint is
+    * |vocabulary|, not |corpus|. Keyed by caller-supplied table identity
+    * (the parquet dir); callers without a stable key (unit-test frames)
+    * pass None and get the uncached build. WeakHashMap: entries die with
+    * their session.
+    */
+  private val dictCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def hashedDict(docs: DataFrame, key: Option[String]): DataFrame = {
+    def build(): DataFrame = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("wd"))
+      .distinct()
+      .select(col("wd"),
+        conv(substring(md5(col("wd")), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("wd")), 16, 1), 16, 10).cast("long").as("h2"))
+    key match {
+      case None => build()
+      case Some(k) =>
+        val perSession = dictCache.synchronized {
+          var m = dictCache.get(docs.sparkSession)
+          if (m == null) {
+            m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+            dictCache.put(docs.sparkSession, m)
+          }
+          m
+        }
+        perSession.computeIfAbsent(k, _ => {
+          val d = build()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          d.count() // materialize once, before any consumer races the build
+          d
+        })
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // -------------------------------------------------- exact duplicate sets
     QueryDef("q21_dedup_exact",
@@ -100,7 +143,8 @@ object Dedup {
     // q24 keeps the engine-native xxhash64 family as the production
     // showcase.
     QueryDef("q25_simhash",
-      (s, d) => simhashCandidates(s, T.load(s, d, "documents")),
+      (s, d) => simhashCandidates(s, T.load(s, d, "documents"),
+        dictKey = Some(s"$d/documents")),
       Some(simhashOracle)),
 
     // ---------------------------- n-gram Jaccard verification of candidates.
@@ -110,7 +154,8 @@ object Dedup {
     // verbatim by the DuckDB oracle. Same banding/cap as the production
     // xxhash64 path (q24); the hash family is the only pluggable part.
     QueryDef("q26_ngram_jaccard",
-      (s, d) => ngramJaccard(s, T.load(s, d, "documents")),
+      (s, d) => ngramJaccard(s, T.load(s, d, "documents"),
+        dictKey = Some(s"$d/documents")),
       Some(ngramJaccardOracle))
   )
 
@@ -251,21 +296,18 @@ object Dedup {
     * simhash values, ~whole-stage-compiled plan.
     */
   def simhashCandidates(s: SparkSession, docs: DataFrame,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, dictKey: Option[String] = None): DataFrame = {
     // hash once per VOCABULARY entry, not per occurrence: distinct words
     // are a tiny fraction of corpus tokens (heavy-tailed vocabulary), so
-    // the md5 digests are computed on the deduped word dictionary and
-    // broadcast back onto the exploded tokens — at 100 TB this turns
-    // trillions of md5 calls into |vocabulary| calls + a broadcast-hash
-    // probe per token (drop the hint if the dictionary outgrows the
-    // broadcast threshold; the join then degrades to a narrow shuffle)
+    // the md5 digests are computed on the deduped word dictionary (cached
+    // per session via [[hashedDict]]) and broadcast back onto the exploded
+    // tokens — at 100 TB this turns trillions of md5 calls into
+    // |vocabulary| calls + a broadcast-hash probe per token (drop the
+    // hint if the dictionary outgrows the broadcast threshold; the join
+    // then degrades to a narrow shuffle)
     val wd = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("wd"))
-    val dict = wd.select(col("wd")).distinct()
-      .select(col("wd"),
-        conv(substring(md5(col("wd")), 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(col("wd")), 16, 1), 16, 10).cast("long").as("h2"))
-    val hashed = wd.join(broadcast(dict), Seq("wd"))
+    val hashed = wd.join(broadcast(hashedDict(docs, dictKey)), Seq("wd"))
       .select(col("doc_id"), col("h1"), col("h2"))
     val voteCols = (0 until 64).map { bit =>
       val src = if (bit < 60) shiftright(col("h1"), bit)
@@ -294,8 +336,13 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // Hamming filter BEFORE the distinct: filter and distinct commute,
+      // and the filter kills the candidate fan-out (a hot 16-bit chunk
+      // over near-identical word-salad docs makes millions of pairs —
+      // 2.18M at sf0.1 — of which only the sub-threshold few survive), so
+      // the dedup exchange ships survivors, not candidates
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -318,7 +365,8 @@ object Dedup {
     * [[minhashCandidates]]; the hash family alone differs so the DuckDB
     * oracle can replay it bit-for-bit.
     */
-  def minhashCandidatesArith(docs: DataFrame): DataFrame = {
+  def minhashCandidatesArith(docs: DataFrame,
+      dictKey: Option[String] = None): DataFrame = {
     // WINDOW-LEAD shingle composition: posexplode the words, hash each
     // occurrence with a CODEGEN'D md5 projection, then compose the
     // 3-shingle hash from lead(wh,1)/lead(wh,2) over (doc_id, pos) — the
@@ -332,8 +380,10 @@ object Dedup {
     // the deduped dictionary, broadcast back onto the token positions
     val words = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
-    val dict = words.select(col("wd")).distinct()
-      .select(col("wd"), mdWordHash(col("wd")).as("wh"))
+    // wh = h1 mod HashM — derived from the SAME cached dictionary q25
+    // broadcasts, so the two queries share one vocabulary hash pass
+    val dict = hashedDict(docs, dictKey)
+      .select(col("wd"), pmod(col("h1"), lit(HashM)).as("wh"))
     val hm = words.join(broadcast(dict), Seq("wd"))
       .select(col("doc_id"), col("pos"), col("wh"))
       .select(col("doc_id"), col("pos"), col("wh"),
@@ -363,8 +413,9 @@ object Dedup {
     * stage); candidate pairs stay narrow through the distinct, shingle
     * arrays re-join after.
     */
-  def ngramJaccard(s: SparkSession, docs: DataFrame): DataFrame = {
-    val cands = minhashCandidatesArith(docs)
+  def ngramJaccard(s: SparkSession, docs: DataFrame,
+      dictKey: Option[String] = None): DataFrame = {
+    val cands = minhashCandidatesArith(docs, dictKey)
     // verify on the (bounded) candidate pairs with per-DOC distinct shingle
     // sets built ONCE via the same codegen window-lead shape as the
     // signature stage — the old per-pair HOF shingle build evaluated

@@ -19,11 +19,21 @@ object QueryProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val phases = sys.env.contains("GRAFT_QPROF_PHASES")
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        if (phases) {
+          val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan // force analysis+optimize+planning
+          val t2 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          println(f"[qprof-phases] $n build=${(t1 - t0) / 1e9}%.2f " +
+            f"plan=${(t2 - t1) / 1e9}%.2f exec=${(t3 - t2) / 1e9}%.2f")
+        } else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[qprof] $n first=${ts.head}%.2f warm_min=${ts.tail.min}%.2f")
