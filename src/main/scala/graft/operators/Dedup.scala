@@ -35,48 +35,29 @@ object Dedup {
   private val JacCap = 64
   private val JacThreshold = 0.5
 
-  /** Session-scoped hashed-vocabulary cache (round-4 VERDICT #5): q25 and
-    * q26 both need the md5-hashed DISTINCT-WORD dictionary of the same
-    * `documents` table; hashing it once per (session, table) instead of
-    * once per query removes a distinct-shuffle + md5 pass from every
-    * later query over that table. The entry is persisted MEMORY_AND_DISK
-    * and eagerly materialized so concurrent consumers reuse one build;
-    * vocabulary is heavy-tailed-small relative to the corpus (the same
-    * premise the broadcast rests on), so the cached footprint is
-    * |vocabulary|, not |corpus|. Keyed by caller-supplied table identity
-    * (the parquet dir); callers without a stable key (unit-test frames)
-    * pass None and get the uncached build. WeakHashMap: entries die with
-    * their session.
+  /** md5-hashed DISTINCT-WORD dictionary of a documents table: hash once
+    * per VOCABULARY entry (heavy-tailed-small vs the corpus), broadcast
+    * back onto the exploded tokens.
+    *
+    * Deliberately NOT persisted (reverses the round-4 "session dict
+    * cache"): a `.persist` here makes the CacheManager splice an
+    * InMemoryRelation into EVERY lineage that contains this subtree, and
+    * an IMR scan defeats AQE exchange-stage reuse for every exchange
+    * above it — measured at sf0.1: q26's candidate subtree executed 4x
+    * (40 file scans, zero ReusedExchange) with the cached dict vs 1x
+    * (17 scans, 3 reuses) without, 4.4 s vs 2.0 s warm, q25 2.6 s vs
+    * 1.9 s. Left in-plan, the dictionary build is one vocab-sized
+    * shuffle whose query stage AQE reuses across the diamond consumers
+    * (both self-join sides + the verify stage see ONE build), which is
+    * also the 100-TB-correct shape: reuse beats caching when the cache
+    * itself disables reuse.
     */
-  private val dictCache = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
-
-  private def hashedDict(docs: DataFrame, key: Option[String]): DataFrame = {
-    def build(): DataFrame = docs
-      .select(explode(array_distinct(split(col("text"), " "))).as("wd"))
-      .distinct()
-      .select(col("wd"),
-        conv(substring(md5(col("wd")), 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(col("wd")), 16, 1), 16, 10).cast("long").as("h2"))
-    key match {
-      case None => build()
-      case Some(k) =>
-        val perSession = dictCache.synchronized {
-          var m = dictCache.get(docs.sparkSession)
-          if (m == null) {
-            m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-            dictCache.put(docs.sparkSession, m)
-          }
-          m
-        }
-        perSession.computeIfAbsent(k, _ => {
-          val d = build()
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          d.count() // materialize once, before any consumer races the build
-          d
-        })
-    }
-  }
+  private def hashedDict(docs: DataFrame): DataFrame = docs
+    .select(explode(array_distinct(split(col("text"), " "))).as("wd"))
+    .distinct()
+    .select(col("wd"),
+      conv(substring(md5(col("wd")), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("wd")), 16, 1), 16, 10).cast("long").as("h2"))
 
   val defs: Seq[QueryDef] = Seq(
     // -------------------------------------------------- exact duplicate sets
@@ -143,8 +124,7 @@ object Dedup {
     // q24 keeps the engine-native xxhash64 family as the production
     // showcase.
     QueryDef("q25_simhash",
-      (s, d) => simhashCandidates(s, T.load(s, d, "documents"),
-        dictKey = Some(s"$d/documents")),
+      (s, d) => simhashCandidates(s, T.load(s, d, "documents")),
       Some(simhashOracle)),
 
     // ---------------------------- n-gram Jaccard verification of candidates.
@@ -154,8 +134,7 @@ object Dedup {
     // verbatim by the DuckDB oracle. Same banding/cap as the production
     // xxhash64 path (q24); the hash family is the only pluggable part.
     QueryDef("q26_ngram_jaccard",
-      (s, d) => ngramJaccard(s, T.load(s, d, "documents"),
-        dictKey = Some(s"$d/documents")),
+      (s, d) => ngramJaccard(s, T.load(s, d, "documents")),
       Some(ngramJaccardOracle))
   )
 
@@ -296,7 +275,7 @@ object Dedup {
     * simhash values, ~whole-stage-compiled plan.
     */
   def simhashCandidates(s: SparkSession, docs: DataFrame,
-      maxHamming: Int = 6, dictKey: Option[String] = None): DataFrame = {
+      maxHamming: Int = 6): DataFrame = {
     // hash once per VOCABULARY entry, not per occurrence: distinct words
     // are a tiny fraction of corpus tokens (heavy-tailed vocabulary), so
     // the md5 digests are computed on the deduped word dictionary (cached
@@ -307,7 +286,7 @@ object Dedup {
     // then degrades to a narrow shuffle)
     val wd = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("wd"))
-    val hashed = wd.join(broadcast(hashedDict(docs, dictKey)), Seq("wd"))
+    val hashed = wd.join(broadcast(hashedDict(docs)), Seq("wd"))
       .select(col("doc_id"), col("h1"), col("h2"))
     val voteCols = (0 until 64).map { bit =>
       val src = if (bit < 60) shiftright(col("h1"), bit)
@@ -365,8 +344,7 @@ object Dedup {
     * [[minhashCandidates]]; the hash family alone differs so the DuckDB
     * oracle can replay it bit-for-bit.
     */
-  def minhashCandidatesArith(docs: DataFrame,
-      dictKey: Option[String] = None): DataFrame = {
+  def minhashCandidatesArith(docs: DataFrame): DataFrame = {
     // WINDOW-LEAD shingle composition: posexplode the words, hash each
     // occurrence with a CODEGEN'D md5 projection, then compose the
     // 3-shingle hash from lead(wh,1)/lead(wh,2) over (doc_id, pos) — the
@@ -382,7 +360,7 @@ object Dedup {
       posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
     // wh = h1 mod HashM — derived from the SAME cached dictionary q25
     // broadcasts, so the two queries share one vocabulary hash pass
-    val dict = hashedDict(docs, dictKey)
+    val dict = hashedDict(docs)
       .select(col("wd"), pmod(col("h1"), lit(HashM)).as("wh"))
     val hm = words.join(broadcast(dict), Seq("wd"))
       .select(col("doc_id"), col("pos"), col("wh"))
@@ -413,9 +391,8 @@ object Dedup {
     * stage); candidate pairs stay narrow through the distinct, shingle
     * arrays re-join after.
     */
-  def ngramJaccard(s: SparkSession, docs: DataFrame,
-      dictKey: Option[String] = None): DataFrame = {
-    val cands = minhashCandidatesArith(docs, dictKey)
+  def ngramJaccard(s: SparkSession, docs: DataFrame): DataFrame = {
+    val cands = minhashCandidatesArith(docs)
     // verify on the (bounded) candidate pairs with per-DOC distinct shingle
     // sets built ONCE via the same codegen window-lead shape as the
     // signature stage — the old per-pair HOF shingle build evaluated
