@@ -412,7 +412,176 @@ object TextOps {
           CAST(CASE WHEN CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
               AS BIGINT) * 2
             > count(*) THEN 1 ELSE 0 END AS INT) AS flag_dup
-        FROM n GROUP BY doc_id ORDER BY doc_id"""))
+        FROM n GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --------------- per-source token-budget sampler (corpus mixing): fill
+    // each source's token budget by picking the smallest HASH-BUCKET
+    // threshold whose cumulative token mass reaches the budget. This is the
+    // scale-correct form of budgeted sampling: production can't sort a
+    // source's trillion docs by hash to cut exactly at the budget — instead
+    // docs land in 256 md5-prefix buckets (a pure doc_id function, domain
+    // 'mix|'), ONE corpus-wide groupBy(source, bucket) with map-side
+    // partials produces a 256-row-per-source table, the cumsum window runs
+    // over THAT (never the corpus), and the production selection filter is
+    // `bucket <= threshold` — reproducible under corpus growth and
+    // pushdown-able at the scan, overshoot bounded by one bucket (~1/256 of
+    // the source's mass).
+    QueryDef("q56_mixture_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 3000L
+        val bucket = conv(substring(md5(
+          concat(lit("mix|"), col("doc_id").cast("string"))), 1, 2),
+          16, 10).cast("long")
+        val bt = T.load(s, d, "documents")
+          .select(col("source"), bucket.as("b"),
+            size(words(col("text"))).cast("long").as("t"))
+          .groupBy(col("source"), col("b"))
+          .agg(count(lit(1)).as("nd"), sum(col("t")).as("tok"))
+        val w = Window.partitionBy("source").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bt.select(col("source"), col("b"),
+          sum(col("nd")).over(w).as("cnd"), sum(col("tok")).over(w).as("ctok"))
+        // threshold = first bucket reaching the budget; a source whose whole
+        // mass is under budget selects everything (its last bucket)
+        val thr = cum.groupBy(col("source")).agg(
+          coalesce(min(when(col("ctok") >= budget, col("b"))), max(col("b")))
+            .as("thr_b"))
+        cum.join(thr, Seq("source"))
+          .filter(col("b") === col("thr_b"))
+          .select(col("source"), col("thr_b").as("threshold_bucket"),
+            col("cnd").as("n_docs_selected"),
+            col("ctok").as("tokens_selected"),
+            greatest(col("ctok") - budget, lit(0L)).as("overshoot_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH bt AS (SELECT source,
+          CAST('0x' || substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS b,
+          count(*) AS nd,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+        FROM documents GROUP BY 1, 2),
+        cum AS (SELECT source, b,
+          CAST(sum(nd) OVER (PARTITION BY source ORDER BY b) AS BIGINT) AS cnd,
+          CAST(sum(tok) OVER (PARTITION BY source ORDER BY b) AS BIGINT) AS ctok
+        FROM bt),
+        thr AS (SELECT source,
+          coalesce(min(CASE WHEN ctok >= 3000 THEN b END), max(b)) AS thr_b
+        FROM cum GROUP BY source)
+        SELECT cum.source, thr_b AS threshold_bucket, cnd AS n_docs_selected,
+          ctok AS tokens_selected,
+          greatest(ctok - 3000, 0) AS overshoot_tokens
+        FROM cum JOIN thr ON cum.source = thr.source AND cum.b = thr.thr_b
+        ORDER BY cum.source""")),
+
+    // --------------- curation filter-funnel audit: the standard pre-model
+    // filter chain (min length -> min words -> sane avg word length -> low
+    // digit fraction) applied CUMULATIVELY, reporting survivors and
+    // surviving token mass after each stage — the first dashboard any
+    // curation run looks at (where did my corpus go?). All predicates are
+    // exact integer comparisons on one projected row (no explode, no
+    // per-stage pass): the doc explodes into 4 tiny (stage, pass) structs
+    // and ONE map-side-combined aggregation produces the 4-row funnel.
+    // 100-TB shape: single corpus scan, whole-stage codegen, 4-row result.
+    QueryDef("q57_filter_funnel",
+      (s, d) => {
+        val nw = size(words(col("text"))).cast("long")
+        val ndig = (col("n_chars") -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+        val base = T.load(s, d, "documents")
+          .select(col("n_chars"), nw.as("nw"), ndig.as("ndig"))
+        val p1 = col("n_chars") >= 100L
+        val p2 = p1 && col("nw") >= 20L
+        val p3 = p2 && col("n_chars") >= col("nw") * 2 &&
+          col("n_chars") <= col("nw") * 10
+        val p4 = p3 && col("ndig") * 5 < col("n_chars")
+        val stages = Seq("1_minlen" -> p1, "2_minwords" -> p2,
+          "3_wordshape" -> p3, "4_digits" -> p4)
+        base.select(explode(array(stages.map { case (n, p) =>
+            struct(lit(n).as("stage"), p.cast("long").as("pass"),
+              when(p, col("nw")).otherwise(0L).as("tok"))
+          }: _*)).as("st"))
+          .groupBy(col("st.stage").as("stage"))
+          .agg(sum(col("st.pass")).as("n_pass"),
+            sum(col("st.tok")).as("tokens_pass"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH b AS (SELECT n_chars,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+          CAST(n_chars - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS ndig
+        FROM documents),
+        p AS (SELECT nw,
+          CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS p1,
+          CASE WHEN n_chars >= 100 AND nw >= 20 THEN 1 ELSE 0 END AS p2,
+          CASE WHEN n_chars >= 100 AND nw >= 20 AND n_chars >= nw * 2
+            AND n_chars <= nw * 10 THEN 1 ELSE 0 END AS p3,
+          CASE WHEN n_chars >= 100 AND nw >= 20 AND n_chars >= nw * 2
+            AND n_chars <= nw * 10 AND ndig * 5 < n_chars THEN 1 ELSE 0 END AS p4
+        FROM b),
+        u AS (
+          SELECT '1_minlen' AS stage, CAST(sum(p1) AS BIGINT) AS n_pass,
+            CAST(sum(p1 * nw) AS BIGINT) AS tokens_pass FROM p
+          UNION ALL SELECT '2_minwords', CAST(sum(p2) AS BIGINT),
+            CAST(sum(p2 * nw) AS BIGINT) FROM p
+          UNION ALL SELECT '3_wordshape', CAST(sum(p3) AS BIGINT),
+            CAST(sum(p3 * nw) AS BIGINT) FROM p
+          UNION ALL SELECT '4_digits', CAST(sum(p4) AS BIGINT),
+            CAST(sum(p4 * nw) AS BIGINT) FROM p)
+        SELECT stage, n_pass, tokens_pass FROM u ORDER BY stage""")),
+
+    // --------------- sequence-packing audit (concat-and-chunk, L=512):
+    // docs concatenate in doc_id order and split into fixed 512-token
+    // training sequences; the audit reports sequences produced, docs split
+    // across a sequence boundary (they lose coherence) and padding waste.
+    // Packing is SEQUENTIAL, so the scale unit is the shard (doc_id >> 8 —
+    // production packs per input file): each (source, shard) packs
+    // independently and in parallel, the cumsum window runs over bounded
+    // shard partitions (never a whole source), and per-source totals are an
+    // ordinary second aggregation. Boundary test is pure modular
+    // arithmetic (before % L + t > L), sequence count is a shift
+    // ((st + 511) >> 9) — every number exact on both engines.
+    QueryDef("q58_packing_stats",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = T.load(s, d, "documents")
+          .select(col("source"), shiftright(col("doc_id"), 8).as("shard"),
+            col("doc_id"), size(words(col("text"))).cast("long").as("t"))
+        val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val c = base
+          .withColumn("before", coalesce(sum(col("t")).over(w), lit(0L)))
+          .withColumn("crosses",
+            (pmod(col("before"), lit(512L)) + col("t") > 512L).cast("long"))
+        val sh = c.groupBy(col("source"), col("shard"))
+          .agg(count(lit(1)).as("nd"), sum(col("t")).as("st"),
+            sum(col("crosses")).as("nsplit"))
+        sh.groupBy(col("source"))
+          .agg(sum(col("nd")).as("n_docs"),
+            sum(col("st")).as("total_tokens"),
+            sum(shiftright(col("st") + 511L, 9)).as("n_sequences"),
+            sum(col("nsplit")).as("n_split_docs"),
+            (sum(shiftright(col("st") + 511L, 9)) * 512 - sum(col("st")))
+              .as("pad_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH b AS (SELECT source, doc_id >> 8 AS shard, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        FROM documents),
+        c AS (SELECT source, shard, t,
+          COALESCE(CAST(sum(t) OVER (PARTITION BY source, shard
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS BIGINT), 0) AS before
+        FROM b),
+        sh AS (SELECT source, shard, count(*) AS nd,
+          CAST(sum(t) AS BIGINT) AS st,
+          CAST(sum(CASE WHEN (before % 512) + t > 512 THEN 1 ELSE 0 END)
+            AS BIGINT) AS nsplit
+        FROM c GROUP BY source, shard)
+        SELECT source, CAST(sum(nd) AS BIGINT) AS n_docs,
+          CAST(sum(st) AS BIGINT) AS total_tokens,
+          CAST(sum((st + 511) >> 9) AS BIGINT) AS n_sequences,
+          CAST(sum(nsplit) AS BIGINT) AS n_split_docs,
+          CAST(sum((st + 511) >> 9) * 512 - sum(st) AS BIGINT) AS pad_tokens
+        FROM sh GROUP BY source ORDER BY source"""))
   ) :+ frameSample
 
 

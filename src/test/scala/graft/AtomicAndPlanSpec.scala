@@ -197,6 +197,35 @@ class AtomicAndPlanSpec extends AnyFunSuite {
       s"q55 gram count must be a window, not a self-join:\n$p55")
     assert(!p55.contains("Join"),
       s"q55 must contain no join at all:\n$p55")
+    // q56: the cumsum window must run over the 256-bucket aggregate, never
+    // the corpus — so the ONLY corpus-wide exchange is the (source, bucket)
+    // aggregation; everything above operates on the tiny bucket table
+    val q56 = SparkEntry.queries("q56_mixture_budget")(spark,
+      "/root/testdata/sf0.001")
+    val p56 = q56.queryExecution.executedPlan.toString
+    assert(p56.contains("Window"),
+      s"q56 budget cumsum must be a window over the bucket table:\n$p56")
+    assert(!p56.contains("CartesianProduct") &&
+      !p56.contains("BroadcastNestedLoopJoin"),
+      s"q56 must not cross-join:\n$p56")
+    // q57: the funnel is ONE corpus scan -> explode(4) -> one aggregation;
+    // exactly one hash exchange (the 4-row stage agg), no join
+    val q57 = SparkEntry.queries("q57_filter_funnel")(spark,
+      "/root/testdata/sf0.001")
+    val p57 = q57.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p57).size == 1,
+      s"q57 must shuffle exactly once (the stage aggregation):\n$p57")
+    assert(!p57.contains("Join"),
+      s"q57 must contain no join:\n$p57")
+    // q58: packing is per-(source, shard) — the cumsum window and both
+    // aggregations key on the shard exchange; no join, no corpus broadcast
+    val q58 = SparkEntry.queries("q58_packing_stats")(spark,
+      "/root/testdata/sf0.001")
+    val p58 = q58.queryExecution.executedPlan.toString
+    assert(p58.contains("Window"),
+      s"q58 packing cumsum must be a window:\n$p58")
+    assert(!p58.contains("Join"),
+      s"q58 must contain no join:\n$p58")
   }
 
   test("plan: modelData = stacked windows over ONE exchange by game") {
