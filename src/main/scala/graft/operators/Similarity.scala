@@ -215,7 +215,60 @@ object Similarity {
           CAST(sum(CASE WHEN qr > 127 OR qr < -128 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
           CAST(sum(abs(v6 - q * 31250)) AS BIGINT) AS sum_err6,
           CAST(max(abs(v6 - q * 31250)) AS BIGINT) AS max_err6
-        FROM c GROUP BY label ORDER BY label"""))
+        FROM c GROUP BY label ORDER BY label""")),
+
+    // ------------- transitive dedup CLUSTER assignment over q40's pair
+    // graph: connected components by min-label propagation, each cluster
+    // labeled by its smallest vec_id. This is the greedy-clustering
+    // complement to q52's non-transitive keep-first rule — a chain a<b<c
+    // becomes ONE cluster {a,b,c} (keep a, drop 2) where q52 over-drops.
+    // Scale shape: the iteration runs on the PAIR-GRAPH PROJECTION only
+    // (vertices = LSH-pair endpoints, a sub-percent fraction of a deduped
+    // corpus — here 196 of 500), each round is one narrow (id,id) join +
+    // min-agg on that small set with `localCheckpoint` truncating lineage
+    // between rounds, and convergence (sum of labels is strictly
+    // decreasing until fixpoint) is asserted within a diameter bound —
+    // loudly, not silently truncated. Production-scale variant would swap
+    // plain propagation for alternating large-star/small-star (O(log n)
+    // rounds, Kiveris et al. 2014); the per-round plan is identical.
+    QueryDef("q59_dedup_clusters",
+      (s, d) => {
+        val pairs = neardupLsh(s, T.load(s, d, "embeddings"))
+          .select(col("vec_a"), col("vec_b"))
+        val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+          .localCheckpoint() // LSH subtree runs ONCE, not once per round
+        var labels = edges.select(col("src").as("v")).distinct()
+          .withColumn("lbl", col("v")).localCheckpoint()
+        def lblSum(df: DataFrame): Long =
+          Option(df.agg(sum(col("lbl"))).head.get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+        var prev = lblSum(labels)
+        var converged = labels.isEmpty
+        var iter = 0
+        val maxIters = 16
+        while (!converged && iter < maxIters) {
+          val nbr = edges.join(labels.withColumnRenamed("v", "nv"),
+              col("dst") === col("nv"))
+            .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
+            .withColumnRenamed("src", "jv")
+          val next = labels.join(nbr, col("v") === col("jv"), "left")
+            .select(col("v"),
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+            .localCheckpoint()
+          val cur = lblSum(next)
+          converged = cur == prev
+          prev = cur
+          labels = next
+          iter += 1
+        }
+        require(converged,
+          s"q59 connected components did not converge in $maxIters rounds")
+        labels.groupBy(col("lbl").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"), max(col("v")).as("max_vec"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(clustersOracle))
   )
 
   /** Integer-LCG hyperplane component (scaled by 10^6), identical formula
@@ -365,6 +418,25 @@ object Similarity {
        |FROM embeddings
        |WHERE vec_id NOT IN (SELECT DISTINCT vec_b FROM pairs)
        |GROUP BY label ORDER BY label""".stripMargin
+
+  /** DuckDB mirror of the q59 transitive clusters: min reachable id over
+    * the symmetric closure of `pairs` via a recursive CTE — the exact
+    * fixpoint the Spark-side bounded propagation must land on.
+    */
+  private lazy val clustersOracle: String =
+    s"""WITH RECURSIVE $neardupCtes,
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |verts AS (SELECT DISTINCT src AS v FROM edges),
+       |reach AS (
+       |  SELECT v, v AS r FROM verts
+       |  UNION
+       |  SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+       |lab AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  max(v) AS max_vec
+       |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   /** ANN bucket summary from the shared integer-LCG signature (8 planes ->
     * up to 256 buckets). Deterministic and DuckDB-replayable — see

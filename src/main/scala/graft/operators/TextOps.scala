@@ -581,7 +581,47 @@ object TextOps {
           CAST(sum((st + 511) >> 9) AS BIGINT) AS n_sequences,
           CAST(sum(nsplit) AS BIGINT) AS n_split_docs,
           CAST(sum((st + 511) >> 9) * 512 - sum(st) AS BIGINT) AS pad_tokens
-        FROM sh GROUP BY source ORDER BY source"""))
+        FROM sh GROUP BY source ORDER BY source""")),
+
+    // --------------- cross-source overlap matrix: for every source pair,
+    // how many distinct word-8-grams they share — the inter-corpus
+    // contamination dashboard (is src_web a superset of src_books?) that
+    // sits above q50's corpus-vs-evalset check. Scale shape: distinct
+    // (source, gram) is one map-side-combined exchange; the gram-keyed
+    // aggregation folds each gram's source list into a SET BOUNDED BY THE
+    // SOURCE COUNT (tens) — NEVER a self-join on the gram table, so a
+    // popular gram costs O(S) state, not O(S^2) join rows — and only the
+    // ≤ S^2/2 pair rows ever leave the aggregation. The oracle replays the
+    // same matrix via the equivalent (and small-data-safe) gram self-join.
+    QueryDef("q60_source_overlap",
+      (s, d) => {
+        val docs = T.load(s, d, "documents")
+        val ws = words(col("text"))
+        val grams = docs.select(col("source"), explode(
+            transform(
+              when(size(ws) >= 8, sequence(lit(1), size(ws) - 7))
+                .otherwise(array().cast("array<int>")),
+              i => array_join(slice(ws, i, lit(8)), " "))).as("gram"))
+          .distinct()
+        grams.groupBy(col("gram"))
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(explode(flatten(transform(col("ss"), a =>
+              transform(filter(col("ss"), b => b > a),
+                b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+          .groupBy(col("p.source_a").as("source_a"),
+            col("p.source_b").as("source_b"))
+          .agg(count(lit(1)).as("shared_grams"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH g AS (SELECT DISTINCT source, unnest(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 7, 0)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS gram
+          FROM documents),
+        p AS (SELECT a.source AS source_a, b.source AS source_b
+          FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source)
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS shared_grams
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
   ) :+ frameSample
 
 

@@ -226,6 +226,50 @@ class AtomicAndPlanSpec extends AnyFunSuite {
       s"q58 packing cumsum must be a window:\n$p58")
     assert(!p58.contains("Join"),
       s"q58 must contain no join:\n$p58")
+    // q60: the source-pair matrix must come from the bounded per-gram
+    // source-set aggregation, NEVER a self-join of the gram table
+    val q60 = SparkEntry.queries("q60_source_overlap")(spark,
+      "/root/testdata/sf0.001")
+    val p60 = q60.queryExecution.executedPlan.toString
+    assert(!p60.contains("Join"),
+      s"q60 must aggregate per-gram source sets, not self-join grams:\n$p60")
+    assert(p60.contains("collect_set"),
+      s"q60 must fold sources into a bounded set per gram:\n$p60")
+  }
+
+  test("q59: transitive clusters merge a<b<c chains that q52 over-drops") {
+    // the sf0.001 embeddings contain planted near-dup chains; the cluster
+    // assignment must (a) cover exactly the pair-graph endpoints, (b) label
+    // every member with the component minimum, and (c) produce at least one
+    // cluster of size >= 3 (a transitive chain — the case q52's
+    // non-transitive keep-first rule cannot represent)
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.operators.Similarity.neardupLsh(spark,
+        graft.operators.T.load(spark, dir, "embeddings"))
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("q59_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(clusters.map(_._2).sum == verts.length,
+      "cluster sizes must cover exactly the pair-graph endpoints")
+    assert(clusters.forall { case (cid, _, mx) => cid <= mx },
+      "cluster_id must be the component minimum")
+    assert(clusters.exists(_._2 >= 3),
+      "expected at least one transitive chain (cluster of size >= 3)")
+    // every pair's endpoints must land in the same cluster: rebuild the
+    // membership map by union-find over the pairs and compare counts
+    val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+    def find(v: Long): Long = {
+      var r = v; while (parent(r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = verts.groupBy(find).map { case (_, vs) =>
+      (vs.min, vs.length.toLong, vs.max) }.toSet
+    assert(clusters.toSet == expected,
+      "q59 clusters must equal union-find ground truth over the pairs")
   }
 
   test("plan: modelData = stacked windows over ONE exchange by game") {
