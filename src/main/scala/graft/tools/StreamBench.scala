@@ -117,6 +117,33 @@ object StreamBench {
     "opta", 0, 10, i, new Timestamp(Base + d * 86400000L),
     Array(1, 1, 3, 0, 0, 1, 10, 1, 5000, 5000, 0), None)
 
+  /** Host CPU count captured BEFORE any pinning (availableProcessors
+    * reflects the current affinity mask once taskset has run). */
+  private val hostCpus = Runtime.getRuntime.availableProcessors()
+
+  /** OS-enforced core budget for a parallelism level (SPARK_GRAFT_CPUSET):
+    * `taskset -a -p -c 0-(n-1)` on this JVM before each measured run, the
+    * full host mask restored after. `local[n]` bounds only Spark TASK
+    * threads — GC workers and above all RocksDB's NATIVE background
+    * threads (memtable flush, L0 compaction, block compression) still run
+    * on every host core, handing the 2-core level free parallelism a real
+    * 2-core executor cgroup would never grant (measured: RocksDB lo-side
+    * full-pipeline 13% FASTER than heap's for identical work, which
+    * mechanically deflates hi/(4*lo)). The cpuset models the production
+    * container's hard CPU limit, so the N vs 4N comparison measures the
+    * engine, not local-mode thread accounting.
+    */
+  private def pinCpus(n: Int): Unit =
+    if (sys.env.contains("SPARK_GRAFT_CPUSET")) {
+      val pid = ProcessHandle.current().pid().toString
+      val rc = new ProcessBuilder(
+        "taskset", "-a", "-p", "-c", s"0-${math.min(n, hostCpus) - 1}", pid)
+        .inheritIO().start().waitFor()
+      require(rc == 0, s"taskset pin to $n cpus failed rc=$rc")
+    }
+
+  private def unpinCpus(): Unit = pinCpus(hostCpus)
+
   /** one full run at `cores`; returns (sinkRows, wallSeconds,
     * sustainedEventRows, sustainedSeconds, busySeconds).
     *
@@ -132,6 +159,7 @@ object StreamBench {
       tag: String, saltParts: Option[Int] = None,
       extra: Map[String, String] = Map.empty)
       : (Long, Double, Long, Double, Double) = {
+    pinCpus(cores)
     val spark = session(cores, extra)
     val outDir = s"$root/out_$tag"
     val ck = s"$root/ck_$tag"
@@ -192,6 +220,7 @@ object StreamBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val rows = new ExactlyOnceSink(outDir).read(spark).count()
     spark.stop()
+    unpinCpus()
     (rows, sec, susRows, susMs / 1000.0, allMs / 1000.0)
   }
 
@@ -373,7 +402,7 @@ object StreamBench {
       if (sys.env.get("GRAFT_STATE").contains("rocksdb")) "rocksdb" else "hdfs-heap"
     val perRep = cfgs.map(c => s""""${c.tag}":[${evps(c.tag)
       .map(v => f"$v%.0f").mkString(",")}]""").mkString(",")
-    println(f"""{"stream_skew_bench":{"state_store":"$stateName","games":$games,"hot_games":$hotGames,"per_game":$perGame,"uniform_events":${uni.size},"skew_events":$skewTotal,"hot_shard_pct":${hotEv.size * 100 / skewTotal},"hot_file_mb":${hotFileBytes / 1024 / 1024},"reps":$reps,"uniform_evps":${med("uniform")}%.0f,"skew_splittable_evps":${med("skew_split")}%.0f,"skew_hotshard_evps":${med("skew_hot")}%.0f,"skew_hotshard_salted_evps":${med("skew_hot_salt")}%.0f,"skew_splittable_ratio":${med("skew_split") / med("uniform")}%.3f,"skew_hotshard_ratio":${med("skew_hot") / med("uniform")}%.3f,"skew_hotshard_salted_ratio":${med("skew_hot_salt") / med("uniform")}%.3f,"per_rep_evps":{$perRep},"canary_ref_sec":${graft.Bench.CanaryRefSec}%.3f,"canary_threshold":$canaryThreshold%.2f,"canary_before":[${canBefore.map(c => f"$c%.2f").mkString(",")}],"canary_after":[${canAfter.map(c => f"$c%.2f").mkString(",")}],"clean_reps":${clean.size},"clean_splittable_ratio":${ratioMed("skew_split")}%.3f,"clean_hotshard_ratio":${ratioMed("skew_hot")}%.3f,"clean_hotshard_salted_ratio":${ratioMed("skew_hot_salt")}%.3f,"digests_equal":true}}""")
+    println(f"""{"stream_skew_bench":{"state_store":"$stateName","cpuset":${sys.env.contains("SPARK_GRAFT_CPUSET")},"games":$games,"hot_games":$hotGames,"per_game":$perGame,"uniform_events":${uni.size},"skew_events":$skewTotal,"hot_shard_pct":${hotEv.size * 100 / skewTotal},"hot_file_mb":${hotFileBytes / 1024 / 1024},"reps":$reps,"uniform_evps":${med("uniform")}%.0f,"skew_splittable_evps":${med("skew_split")}%.0f,"skew_hotshard_evps":${med("skew_hot")}%.0f,"skew_hotshard_salted_evps":${med("skew_hot_salt")}%.0f,"skew_splittable_ratio":${med("skew_split") / med("uniform")}%.3f,"skew_hotshard_ratio":${med("skew_hot") / med("uniform")}%.3f,"skew_hotshard_salted_ratio":${med("skew_hot_salt") / med("uniform")}%.3f,"per_rep_evps":{$perRep},"canary_ref_sec":${graft.Bench.CanaryRefSec}%.3f,"canary_threshold":$canaryThreshold%.2f,"canary_before":[${canBefore.map(c => f"$c%.2f").mkString(",")}],"canary_after":[${canAfter.map(c => f"$c%.2f").mkString(",")}],"clean_reps":${clean.size},"clean_splittable_ratio":${ratioMed("skew_split")}%.3f,"clean_hotshard_ratio":${ratioMed("skew_hot")}%.3f,"clean_hotshard_salted_ratio":${ratioMed("skew_hot_salt")}%.3f,"digests_equal":true}}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -549,6 +578,6 @@ object StreamBench {
     val stateName =
       if (sys.env.get("GRAFT_STATE").contains("rocksdb")) "rocksdb"
       else "hdfs-heap"
-    println(f"""{"stream_bench":{"state_store":"$stateName","games":$games,"event_rows":$nEvents,"action_rows":$rows,"cores_lo":2,"cores_hi":8,"wall_rows_per_sec_lo":${rows / secLo}%.1f,"wall_rows_per_sec_hi":${rows / secHi}%.1f,"wall_efficiency":$eff%.3f,"sustained_events_per_sec_lo":$susLo%.1f,"sustained_events_per_sec_hi":$susHi%.1f,"sustained_efficiency":$susEff%.3f,"sustained_median_lo":$medLo%.1f,"sustained_median_hi":$medHi%.1f,"paired_rep_efficiencies":[${effR.map(e => f"$e%.3f").mkString(",")}],"sustained_median_efficiency":$medEff%.3f,"full_pipeline_lo":$fullMedLo%.1f,"full_pipeline_hi":$fullMedHi%.1f,"full_pipeline_rep_efficiencies":[${fullEffR.map(e => f"$e%.3f").mkString(",")}],"full_pipeline_median_efficiency":$fullMedEff%.3f,"canary_ref_sec":${graft.Bench.CanaryRefSec}%.3f,"canary_threshold":$canaryThreshold%.2f,"canary_before":[${canBefore.map(c => f"$c%.2f").mkString(",")}],"canary_after":[${canAfter.map(c => f"$c%.2f").mkString(",")}],"clean_reps":${clean.size},"sustained_clean_median_efficiency":$susCleanEff%.3f,"full_pipeline_clean_median_efficiency":$fullCleanEff%.3f,"reps":$reps}}""")
+    println(f"""{"stream_bench":{"state_store":"$stateName","cpuset":${sys.env.contains("SPARK_GRAFT_CPUSET")},"games":$games,"event_rows":$nEvents,"action_rows":$rows,"cores_lo":2,"cores_hi":8,"wall_rows_per_sec_lo":${rows / secLo}%.1f,"wall_rows_per_sec_hi":${rows / secHi}%.1f,"wall_efficiency":$eff%.3f,"sustained_events_per_sec_lo":$susLo%.1f,"sustained_events_per_sec_hi":$susHi%.1f,"sustained_efficiency":$susEff%.3f,"sustained_median_lo":$medLo%.1f,"sustained_median_hi":$medHi%.1f,"paired_rep_efficiencies":[${effR.map(e => f"$e%.3f").mkString(",")}],"sustained_median_efficiency":$medEff%.3f,"full_pipeline_lo":$fullMedLo%.1f,"full_pipeline_hi":$fullMedHi%.1f,"full_pipeline_rep_efficiencies":[${fullEffR.map(e => f"$e%.3f").mkString(",")}],"full_pipeline_median_efficiency":$fullMedEff%.3f,"canary_ref_sec":${graft.Bench.CanaryRefSec}%.3f,"canary_threshold":$canaryThreshold%.2f,"canary_before":[${canBefore.map(c => f"$c%.2f").mkString(",")}],"canary_after":[${canAfter.map(c => f"$c%.2f").mkString(",")}],"clean_reps":${clean.size},"sustained_clean_median_efficiency":$susCleanEff%.3f,"full_pipeline_clean_median_efficiency":$fullCleanEff%.3f,"reps":$reps}}""")
   }
 }
