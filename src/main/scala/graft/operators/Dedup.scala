@@ -352,8 +352,6 @@ object Dedup {
     // element_at form cost 2x the wall at sf0.1). One exchange total: the
     // window's hash-partition on doc_id is reused by the signature groupBy.
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val wAll = w.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
     // hash once per VOCABULARY entry (see simhashCandidates): md5 runs on
     // the deduped dictionary, broadcast back onto the token positions
     val words = docs.select(col("doc_id"),
@@ -366,17 +364,19 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("wh"))
       .select(col("doc_id"), col("pos"), col("wh"),
         lead(col("wh"), 1).over(w).as("h2"),
-        lead(col("wh"), 2).over(w).as("h3"),
-        count(lit(1)).over(wAll).as("nw"))
+        lead(col("wh"), 2).over(w).as("h3"))
       .select(col("doc_id"),
-        // identical arithmetic to the per-array fold: full 3-shingles for
-        // docs with >= 3 words; the <3-word fallback folds all word hashes
-        when(col("nw") >= 3,
-          when(col("pos") <= col("nw") - 3,
-            pmod(pmod(col("wh") * 131 + col("h2"), lit(HashM)) * 131 +
-              col("h3"), lit(HashM))))
+        // identical arithmetic to the per-array fold, classified by the
+        // lead-null pattern alone (h3 null <=> within 2 of the doc tail),
+        // which spares the window a second unbounded count(*) frame:
+        // h3 set -> a full 3-shingle; h3 null at pos 0 -> the <3-word
+        // fallback (h2 null = 1-word doc, else the 2-word fold); h3 null
+        // at pos > 0 -> a tail position of a >= 2-word doc, dropped
+        when(col("h3").isNotNull,
+          pmod(pmod(col("wh") * 131 + col("h2"), lit(HashM)) * 131 +
+            col("h3"), lit(HashM)))
           .otherwise(when(col("pos") === 0,
-            when(col("nw") === 1, col("wh"))
+            when(col("h2").isNull, col("wh"))
               .otherwise(pmod(col("wh") * 131 + col("h2"), lit(HashM)))))
           .as("hm"))
       .filter(col("hm").isNotNull)
@@ -404,24 +404,22 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val wAll = w.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
     val shTbl = docs.join(broadcast(ids), Seq("doc_id"))
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
       .select(col("doc_id"), col("pos"), col("wd"),
         lead(col("wd"), 1).over(w).as("w2"),
-        lead(col("wd"), 2).over(w).as("w3"),
-        count(lit(1)).over(wAll).as("nw"))
+        lead(col("wd"), 2).over(w).as("w3"))
       .select(col("doc_id"),
-        // identical shingle set to wordShingles: full 3-gram strings for
-        // >= 3 words; a <3-word doc contributes its whole text (the
-        // single-space re-join of all words IS the text for split-by-' ')
-        when(col("nw") >= 3,
-          when(col("pos") <= col("nw") - 3,
-            concat_ws(" ", col("wd"), col("w2"), col("w3"))))
+        // identical shingle set to wordShingles, classified by the
+        // lead-null pattern (see the signature stage above): full 3-gram
+        // strings where w3 is set; a <3-word doc contributes its whole
+        // text (the single-space re-join of all words IS the text for
+        // split-by-' ')
+        when(col("w3").isNotNull,
+          concat_ws(" ", col("wd"), col("w2"), col("w3")))
           .otherwise(when(col("pos") === 0,
-            when(col("nw") === 1, col("wd"))
+            when(col("w2").isNull, col("wd"))
               .otherwise(concat_ws(" ", col("wd"), col("w2")))))
           .as("sh"))
       .filter(col("sh").isNotNull)

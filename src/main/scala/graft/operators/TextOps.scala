@@ -580,7 +580,8 @@ object TextOps {
           CAST(sum(st) AS BIGINT) AS total_tokens,
           CAST(sum((st + 511) >> 9) AS BIGINT) AS n_sequences,
           CAST(sum(nsplit) AS BIGINT) AS n_split_docs,
-          CAST(sum((st + 511) >> 9) * 512 - sum(st) AS BIGINT) AS pad_tokens
+          CAST(sum((st + 511) >> 9) AS BIGINT) * 512
+            - CAST(sum(st) AS BIGINT) AS pad_tokens
         FROM sh GROUP BY source ORDER BY source""")),
 
     // --------------- cross-source overlap matrix: for every source pair,
