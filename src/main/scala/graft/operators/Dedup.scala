@@ -52,7 +52,7 @@ object Dedup {
     * also the 100-TB-correct shape: reuse beats caching when the cache
     * itself disables reuse.
     */
-  private def hashedDict(docs: DataFrame): DataFrame = docs
+  private[operators] def hashedDict(docs: DataFrame): DataFrame = docs
     .select(explode(array_distinct(split(col("text"), " "))).as("wd"))
     .distinct()
     .select(col("wd"),

@@ -239,49 +239,62 @@ object Similarity {
       (s, d) => {
         val pairs = neardupLsh(s, T.load(s, d, "embeddings"))
           .select(col("vec_a"), col("vec_b"))
-        val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-          .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-          .localCheckpoint() // LSH subtree runs ONCE, not once per round
-        var labels = edges.select(col("src").as("v")).distinct()
-          .withColumn("lbl", col("v")).localCheckpoint()
-        def lblSum(df: DataFrame): Long =
-          Option(df.agg(sum(col("lbl"))).head.get(0))
-            .map(_.asInstanceOf[Long]).getOrElse(0L)
-        var prev = lblSum(labels)
-        var converged = labels.isEmpty
-        var iter = 0
-        val maxIters = 16
-        while (!converged && iter < maxIters) {
-          val nbr = edges.join(labels.withColumnRenamed("v", "nv"),
-              col("dst") === col("nv"))
-            .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
-            .withColumnRenamed("src", "jv")
-          val prop = labels.join(nbr, col("v") === col("jv"), "left")
-            .select(col("v"),
-              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-          // pointer doubling: a label is itself a vertex id of the same
-          // graph, so one self-join rewrites lbl(v) to lbl(lbl(v)) and
-          // halves every label chain per round
-          val next = prop.join(
-              prop.select(col("v").as("pv"), col("lbl").as("plbl")),
-              col("lbl") === col("pv"), "left")
-            .select(col("v"),
-              least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-            .localCheckpoint()
-          val cur = lblSum(next)
-          converged = cur == prev
-          prev = cur
-          labels = next
-          iter += 1
-        }
-        require(converged,
-          s"q59 connected components did not converge in $maxIters rounds")
+        val labels = connectedComponents(pairs, "vec_a", "vec_b")
         labels.groupBy(col("lbl").as("cluster_id"))
           .agg(count(lit(1)).as("n_members"), max(col("v")).as("max_vec"))
           .orderBy(col("cluster_id"))
       },
       Some(clustersOracle))
   )
+
+  /** Connected components over an undirected pair list: returns
+    * `(v, lbl)` with `lbl` = the smallest vertex id reachable from `v`.
+    * Min-label propagation with a POINTER-DOUBLING shortcut per round
+    * (see the q59 comment above): O(log diameter) rounds, each one two
+    * narrow joins + a min-agg with `localCheckpoint` truncating lineage.
+    * Convergence is asserted loudly within `maxIters` — a silently
+    * truncated clustering never escapes.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 16): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint() // the upstream subtree runs ONCE, not once per round
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    def lblSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("lbl"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prev = lblSum(labels)
+    var converged = labels.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbr = edges.join(labels.withColumnRenamed("v", "nv"),
+          col("dst") === col("nv"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
+        .withColumnRenamed("src", "jv")
+      val prop = labels.join(nbr, col("v") === col("jv"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      // pointer doubling: a label is itself a vertex id of the same
+      // graph, so one self-join rewrites lbl(v) to lbl(lbl(v)) and
+      // halves every label chain per round
+      val next = prop.join(
+          prop.select(col("v").as("pv"), col("lbl").as("plbl")),
+          col("lbl") === col("pv"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val cur = lblSum(next)
+      converged = cur == prev
+      prev = cur
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIters rounds")
+    labels
+  }
 
   /** Integer-LCG hyperplane component (scaled by 10^6), identical formula
     * on both engines: c(p,j) = (1103515245*(p*131+j) + 12345) mod 2000001

@@ -622,7 +622,100 @@ object TextOps {
         p AS (SELECT a.source AS source_a, b.source AS source_b
           FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source)
         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS shared_grams
-        FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // --------------- filter-threshold calibration sweep: the survival
+    // curve (docs + tokens surviving) over a grid of stopword-ratio
+    // thresholds, the artifact a curation team reads before committing a
+    // quality cutoff. Scale shape: the corpus is aggregated ONCE into a
+    // <= 1001-row score histogram (score = stopword per-mille, an exact
+    // integer); the grid sweep then runs conditional aggs over that tiny
+    // histogram — NOT an explode-by-grid over the corpus, which would
+    // scan |grid| x 100 TB. Adding a threshold to the grid costs zero
+    // additional corpus work.
+    QueryDef("q61_threshold_sweep",
+      (s, d) => {
+        val ws = words(col("text"))
+        val score = floor(
+          size(filter(ws, w => w.isin(stopwords: _*))) * 1000 / size(ws))
+          .cast("long")
+        val hist = T.load(s, d, "documents")
+          .select(score.as("score"), size(ws).cast("long").as("t"))
+          .groupBy(col("score"))
+          .agg(count(lit(1)).as("nd"), sum(col("t")).as("nt"))
+        val grid = (0 to 400 by 50).map(lit(_))
+        hist.select(explode(array(grid: _*)).as("threshold"),
+            col("score"), col("nd"), col("nt"))
+          .groupBy(col("threshold"))
+          .agg(sum(when(col("score") >= col("threshold"), col("nd"))
+              .otherwise(0L)).as("n_docs_surviving"),
+            sum(when(col("score") >= col("threshold"), col("nt"))
+              .otherwise(0L)).as("n_tokens_surviving"))
+          .orderBy(col("threshold"))
+      },
+      Some("""WITH h AS (SELECT
+          CAST(floor(len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','a','of','and','in','to','is'))) * 1000
+            / len(string_split(text, ' '))) AS BIGINT) AS score,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        FROM documents),
+        hist AS (SELECT score, count(*) AS nd, CAST(sum(t) AS BIGINT) AS nt
+          FROM h GROUP BY score),
+        grid AS (SELECT unnest(generate_series(0, 400, 50)) AS threshold)
+        SELECT CAST(threshold AS INT) AS threshold,
+          CAST(sum(CASE WHEN score >= threshold THEN nd ELSE 0 END) AS BIGINT)
+            AS n_docs_surviving,
+          CAST(sum(CASE WHEN score >= threshold THEN nt ELSE 0 END) AS BIGINT)
+            AS n_tokens_surviving
+        FROM grid CROSS JOIN hist GROUP BY 1 ORDER BY 1""")),
+
+    // --------------- winnowing-style fingerprint sampling (Schleimer,
+    // Wilkerson, Aiken 2003): per token position, the word's md5-derived
+    // hash; a position is SELECTED when its hash is the minimum of the
+    // trailing w=4 window — a deterministic locality-sensitive sample
+    // whose density concentrates near 1/w, giving a plagiarism-index-
+    // style sketch at a fraction of the full fingerprint set. Scale
+    // shape: vocabulary-hash broadcast (same dict as q25/q26) + ONE
+    // window pass per doc partition + per-source conditional aggs — no
+    // shuffle beyond the doc-keyed sort and final tiny rollup.
+    QueryDef("q62_winnow_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T.load(s, d, "documents")
+        val dict = Dedup.hashedDict(docs)
+          .select(col("wd"), col("h1").as("wh"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(-3, 0)
+        val sel = docs
+          .select(col("doc_id"), col("source"),
+            posexplode(words(col("text"))).as(Seq("pos", "wd")))
+          .join(broadcast(dict), Seq("wd"))
+          .withColumn("wmin", min(col("wh")).over(w))
+          .withColumn("selected", (col("wh") === col("wmin")).cast("long"))
+        sel.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_positions"),
+            sum(col("selected")).as("n_selected"),
+            countDistinct(when(col("selected") === 1L, col("wh")))
+              .as("n_distinct_sel_hashes"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH p AS (SELECT doc_id, source, pos, wd
+          FROM (SELECT doc_id, source,
+            unnest(string_split(text, ' ')) AS wd,
+            unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+          FROM documents)),
+        h AS (SELECT doc_id, source, pos,
+          CAST('0x' || substring(md5(wd), 1, 15) AS BIGINT) AS wh FROM p),
+        m AS (SELECT doc_id, source, wh,
+          CASE WHEN wh = min(wh) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) THEN 1 ELSE 0 END
+            AS selected
+          FROM h)
+        SELECT source, count(*) AS n_positions,
+          CAST(sum(selected) AS BIGINT) AS n_selected,
+          count(DISTINCT CASE WHEN selected = 1 THEN wh END)
+            AS n_distinct_sel_hashes
+        FROM m GROUP BY source ORDER BY source"""))
   ) :+ frameSample
 
 

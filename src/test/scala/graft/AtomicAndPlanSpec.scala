@@ -235,6 +235,29 @@ class AtomicAndPlanSpec extends AnyFunSuite {
       s"q60 must aggregate per-gram source sets, not self-join grams:\n$p60")
     assert(p60.contains("collect_set"),
       s"q60 must fold sources into a bounded set per gram:\n$p60")
+    // q61: the grid sweep must run over the tiny score HISTOGRAM, never
+    // explode the corpus by |grid| — so the corpus contributes exactly one
+    // hash exchange (the score aggregation); the second exchange is the
+    // 9-row threshold rollup; and there is no join anywhere
+    val q61 = SparkEntry.queries("q61_threshold_sweep")(spark,
+      "/root/testdata/sf0.001")
+    val p61 = q61.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p61).size == 2,
+      s"q61 must shuffle exactly twice (histogram + grid rollup):\n$p61")
+    assert(!p61.contains("Join"),
+      s"q61 must contain no join:\n$p61")
+    // q62: one window pass over the doc-keyed positions with the
+    // vocabulary hash BROADCAST onto them — no shuffled dictionary join,
+    // no self-join
+    val q62 = SparkEntry.queries("q62_winnow_sample")(spark,
+      "/root/testdata/sf0.001")
+    val p62 = q62.queryExecution.executedPlan.toString
+    assert(p62.contains("Window"),
+      s"q62 trailing-min must be a window:\n$p62")
+    assert(p62.contains("BroadcastHashJoin"),
+      s"q62 dictionary must broadcast:\n$p62")
+    assert(!p62.contains("SortMergeJoin"),
+      s"q62 must not shuffle the token positions for the dict join:\n$p62")
   }
 
   test("q59: transitive clusters merge a<b<c chains that q52 over-drops") {

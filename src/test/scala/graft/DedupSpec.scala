@@ -91,4 +91,20 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs.get((0L, 1L)).contains(1.0), s"exact pair cosine != 1: $pairs")
   }
+
+  test("connected components converge on a 64-vertex path within the " +
+    "O(log diameter) round bound (q59 regression: plain propagation " +
+    "needs 63 rounds here and fails the 16-round require)") {
+    import spark.implicits._
+    // path 0-1-2-...-63 (diameter 63) plus one separate triangle and one
+    // isolated pair: min-reachable labels are 0, 100, 200
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val pairs = (path ++ extra).toDF("a", "b")
+    val lbl = Similarity.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 63L).foreach(v => assert(lbl(v) == 0L, s"path vertex $v -> ${lbl(v)}"))
+    Seq(100L, 101L, 102L).foreach(v => assert(lbl(v) == 100L))
+    Seq(200L, 201L).foreach(v => assert(lbl(v) == 200L))
+  }
 }
