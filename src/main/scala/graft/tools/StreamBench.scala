@@ -405,8 +405,175 @@ object StreamBench {
     println(f"""{"stream_skew_bench":{"state_store":"$stateName","cpuset":${sys.env.contains("SPARK_GRAFT_CPUSET")},"games":$games,"hot_games":$hotGames,"per_game":$perGame,"uniform_events":${uni.size},"skew_events":$skewTotal,"hot_shard_pct":${hotEv.size * 100 / skewTotal},"hot_file_mb":${hotFileBytes / 1024 / 1024},"reps":$reps,"uniform_evps":${med("uniform")}%.0f,"skew_splittable_evps":${med("skew_split")}%.0f,"skew_hotshard_evps":${med("skew_hot")}%.0f,"skew_hotshard_salted_evps":${med("skew_hot_salt")}%.0f,"skew_splittable_ratio":${med("skew_split") / med("uniform")}%.3f,"skew_hotshard_ratio":${med("skew_hot") / med("uniform")}%.3f,"skew_hotshard_salted_ratio":${med("skew_hot_salt") / med("uniform")}%.3f,"per_rep_evps":{$perRep},"canary_ref_sec":${graft.Bench.CanaryRefSec}%.3f,"canary_threshold":$canaryThreshold%.2f,"canary_before":[${canBefore.map(c => f"$c%.2f").mkString(",")}],"canary_after":[${canAfter.map(c => f"$c%.2f").mkString(",")}],"clean_reps":${clean.size},"clean_splittable_ratio":${ratioMed("skew_split")}%.3f,"clean_hotshard_ratio":${ratioMed("skew_hot")}%.3f,"clean_hotshard_salted_ratio":${ratioMed("skew_hot_salt")}%.3f,"digests_equal":true}}""")
   }
 
+  /** Timed crash-recovery benchmark (the north rule's resumability row,
+    * with a CLOCK on it — StreamingSpec proves exactly-once across kills,
+    * this measures what recovery COSTS at bench scale). Per rep:
+    *   control  — uninterrupted run, wall = the no-failure baseline;
+    *   crash    — same corpus, fresh checkpoint: the query is stopped
+    *              mid-flight after `crashAfter` committed data batches
+    *              (a driver loss between triggers; Spark's recovery
+    *              contract is identical for harder kills: offsets/commits
+    *              land in the WAL before the next trigger);
+    *   recover  — a NEW session (new "driver") restarts from the same
+    *              checkpoint: RTO = start-to-first-commit (state reload +
+    *              plan + first batch), then catch-up to completion.
+    * Digest hard-assert: the crashed+recovered sink must equal the batch
+    * truth byte-for-byte (rep 1), rows every rep. Reported: median
+    * control wall, crash wall, recovery wall, RTO, and recovery overhead
+    * (crash + recover - control). Usage:
+    *   SPARK_GRAFT_STREAM_MFPT=4 sbt "runMain graft.tools.StreamBench recovery [games] [reps] [perGame]"
+    */
+  private def recoveryMain(args: Array[String]): Unit = {
+    val games = if (args.length > 0) args(0).toInt else 4096
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val perGame = if (args.length > 2) args(2).toInt else 800
+    val crashAfter = sys.env.getOrElse("SPARK_GRAFT_CRASH_AFTER", "2").toInt
+    val root = benchRoot("graft_recovery")
+    val srcDir = s"$root/src"
+
+    val prep = session(8)
+    import prep.implicits._
+    import scala.collection.parallel.CollectionConverters._
+    val all = (0 until games).par
+      .flatMap(i => SpadlStream.toStreamEvents(FixtureGen.game(i, perGame).doc, Base))
+      .toVector.sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+    val truthActions = (0 until games).par.flatMap { i =>
+      val g = FixtureGen.game(i, perGame)
+      graft.vaep.ValuationCore.value(
+        graft.convert.SpadlPipeline.convertDoc(g.doc.doc_id, g.doc.tokens, Nil))
+    }.toVector
+    val truthRows = truthActions.size.toLong
+    val truthDigest = digestOf(truthActions.map(_.hashCode.toLong))
+    val nFiles = 16
+    all.grouped(math.max(1, all.size / nFiles)).zipWithIndex.foreach {
+      case (c, i) => prep.createDataset(c).coalesce(1)
+        .write.parquet(f"$srcDir/p$i%03d")
+    }
+    (1 to 3).foreach(i => prep.createDataset(Seq(sentinel(i, 29 + i)))
+      .write.parquet(s"$srcDir/zz_s$i"))
+    prep.read.parquet(s"$srcDir/*").foreach(_ => ())
+    prep.stop()
+    println(s"[recovery] events=${all.size} truth_rows=$truthRows")
+    // JIT warmup (same rationale as the main bench)
+    locally {
+      val wuDir = s"$root/wusrc"
+      val wu = session(8)
+      import wu.implicits._
+      val wuEvents = (0 until 256)
+        .flatMap(i => SpadlStream.toStreamEvents(FixtureGen.game(i, 200).doc, Base))
+        .sortBy(e => (e.event_time.getTime, e.doc_id, e.seq))
+      wu.createDataset(wuEvents).coalesce(1).write.parquet(s"$wuDir/p000")
+      (1 to 3).foreach(i => wu.createDataset(Seq(sentinel(i, 29 + i)))
+        .write.parquet(s"$wuDir/zz_s$i"))
+      wu.stop()
+      run(8, wuDir, root, "wu")
+      println("[recovery] warmup done")
+    }
+
+    def streamOf(spark: SparkSession) = {
+      import spark.implicits._
+      spark.readStream
+        .schema(spark.createDataset(Seq(sentinel(0, 0))).schema)
+        .option("maxFilesPerTrigger",
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_MFPT", "4"))
+        .parquet(s"$srcDir/*")
+        .as[SpadlStream.StreamEvent]
+    }
+    val ctlWall = scala.collection.mutable.ArrayBuffer[Double]()
+    val crashWall = scala.collection.mutable.ArrayBuffer[Double]()
+    val recWall = scala.collection.mutable.ArrayBuffer[Double]()
+    val rtoSec = scala.collection.mutable.ArrayBuffer[Double]()
+    val rowsAtCrash = scala.collection.mutable.ArrayBuffer[Long]()
+    val canBefore = scala.collection.mutable.ArrayBuffer[Double]()
+    val canAfter = scala.collection.mutable.ArrayBuffer[Double]()
+    (1 to reps).foreach { r =>
+      if (r > 1) coolDown()
+      canBefore += gateCanary(s"recovery rep$r")
+      // control: uninterrupted
+      val (cr, cw, _, _, _) = run(8, srcDir, root, s"ctl$r")
+      require(cr == truthRows, s"control rows $cr != truth $truthRows")
+      ctlWall += cw
+      // crash phase: stop after `crashAfter` committed data batches
+      pinCpus(8)
+      val outRec = s"$root/out_rec$r"
+      val ckRec = s"$root/ck_rec$r"
+      val s1 = session(8)
+      val crashed = new java.util.concurrent.CountDownLatch(1)
+      s1.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          private var dataBatches = 0
+          override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryProgressEvent): Unit = {
+            if (e.progress.numInputRows >= 1000) dataBatches += 1
+            if (dataBatches >= crashAfter) crashed.countDown()
+          }
+          override def onQueryTerminated(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        })
+      val t1 = System.nanoTime()
+      val q1 = StreamJob.start(s1, streamOf(s1), outRec, ckRec,
+        trigger = Trigger.AvailableNow())
+      crashed.await()
+      q1.stop() // driver loss between triggers; uncommitted work is gone
+      crashWall += (System.nanoTime() - t1) / 1e9
+      rowsAtCrash += new ExactlyOnceSink(outRec).read(s1).count()
+      s1.stop()
+      // recovery: a NEW driver resumes from the checkpoint
+      val s2 = session(8)
+      @volatile var firstCommitNs = 0L
+      s2.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryProgressEvent): Unit =
+            if (firstCommitNs == 0L) firstCommitNs = System.nanoTime()
+          override def onQueryTerminated(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        })
+      val t2 = System.nanoTime()
+      val q2 = StreamJob.start(s2, streamOf(s2), outRec, ckRec,
+        trigger = Trigger.AvailableNow())
+      val finished = q2.awaitTermination(
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_TIMEOUT_MS", "580000").toLong)
+      q2.stop()
+      require(finished, s"recovery rep $r did not finish within the timeout")
+      recWall += (System.nanoTime() - t2) / 1e9
+      rtoSec += (if (firstCommitNs == 0L) Double.NaN
+        else (firstCommitNs - t2) / 1e9)
+      val rows = new ExactlyOnceSink(outRec).read(s2).count()
+      require(rows == truthRows,
+        s"recovered rows $rows != truth $truthRows")
+      s2.stop()
+      unpinCpus()
+      if (r == 1) {
+        val (n, dig) = sinkDigest(root, "rec1")
+        require(n == truthRows && dig == truthDigest,
+          s"recovered content digest $dig != batch truth $truthDigest")
+        println("[recovery] crashed+recovered content digest == batch truth")
+      }
+      canAfter += canaryFactor()
+      println(f"[recovery rep $r] control=${ctlWall.last}%.1f s | " +
+        f"crash@${rowsAtCrash.last} rows after ${crashWall.last}%.1f s | " +
+        f"recover=${recWall.last}%.1f s (RTO first-commit ${rtoSec.last}%.1f s) | " +
+        f"overhead=${crashWall.last + recWall.last - ctlWall.last}%.1f s | " +
+        f"canary ${canBefore.last}%.2f -> ${canAfter.last}%.2f")
+    }
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val stateName =
+      if (sys.env.get("GRAFT_STATE").contains("rocksdb")) "rocksdb"
+      else "hdfs-heap"
+    println(f"""{"stream_recovery_bench":{"state_store":"$stateName","cpuset":${sys.env.contains("SPARK_GRAFT_CPUSET")},"games":$games,"event_rows":${all.size},"action_rows":$truthRows,"crash_after_batches":$crashAfter,"reps":$reps,"control_wall_sec":${med(ctlWall.toSeq)}%.1f,"crash_wall_sec":${med(crashWall.toSeq)}%.1f,"recovery_wall_sec":${med(recWall.toSeq)}%.1f,"rto_first_commit_sec":${med(rtoSec.toSeq)}%.1f,"recovery_overhead_sec":${med(crashWall.lazyZip(recWall).lazyZip(ctlWall).map(_ + _ - _).toSeq)}%.1f,"rows_at_crash":[${rowsAtCrash.mkString(",")}],"canary_ref_sec":${graft.Bench.CanaryRefSec}%.3f,"canary_before":[${canBefore.map(c => f"$c%.2f").mkString(",")}],"canary_after":[${canAfter.map(c => f"$c%.2f").mkString(",")}],"digests_equal":true}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) { skewMain(args.drop(1)); return }
+    if (args.headOption.contains("recovery")) { recoveryMain(args.drop(1)); return }
     val games = if (args.length > 0) args(0).toInt else 1024
     val reps = if (args.length > 1) args(1).toInt else 2
     val perGame = if (args.length > 2) args(2).toInt else 400
