@@ -278,7 +278,10 @@ object Similarity {
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
       // pointer doubling: a label is itself a vertex id of the same
       // graph, so one self-join rewrites lbl(v) to lbl(lbl(v)) and
-      // halves every label chain per round
+      // halves every label chain per round. ONE hop per round: chaining
+      // a second un-checkpointed hop re-executes the whole prop subtree
+      // multiplicatively (measured 86 s vs 4 s at sf0.1), and a
+      // checkpoint between hops costs the job the second hop would save
       val next = prop.join(
           prop.select(col("v").as("pv"), col("lbl").as("plbl")),
           col("lbl") === col("pv"), "left")
