@@ -107,4 +107,31 @@ class DedupSpec extends AnyFunSuite {
     Seq(100L, 101L, 102L).foreach(v => assert(lbl(v) == 100L))
     Seq(200L, 201L).foreach(v => assert(lbl(v) == 200L))
   }
+
+  test("connected components match a local union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { g =>
+      val n = 20 + rnd.nextInt(30)
+      val pairs = Vector.fill(10 + rnd.nextInt(50))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // local union-find truth: min reachable id per vertex
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = Similarity.connectedComponents(
+          pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"graph $g: spark=$got truth=$truth")
+    }
+  }
 }
