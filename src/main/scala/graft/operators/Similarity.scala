@@ -244,8 +244,82 @@ object Similarity {
           .agg(count(lit(1)).as("n_members"), max(col("v")).as("max_vec"))
           .orderBy(col("cluster_id"))
       },
-      Some(clustersOracle))
+      Some(clustersOracle)),
+
+    // ----------- product-quantization codebook assignment + distortion
+    // audit (Jégou et al. 2011, the PQ half of IVF-PQ; q48 is the IVF
+    // half): the 64-dim embedding splits into M=8 subspaces of 8 dims;
+    // each subspace has K=4 deterministic integer-LCG codewords (the
+    // committed-codebook analogue of q35's hyperplanes — a trained
+    // codebook would arrive as a small broadcast table, same plan), and
+    // every (vector, subspace) is assigned its nearest codeword by EXACT
+    // integer squared distance on the micro-int grid (v6 = round(v*1e6);
+    // |v6-cw| <= 9e6, squared 8.1e13, x8 dims = 6.5e14 << Long.Max; the
+    // reported distortion is dist/1e6 so per-(s,k) sums keep ~1e6 of
+    // headroom at 1e9 vectors/shard). Ties break to the smallest
+    // codeword id on both engines (struct-least here, first-match CASE
+    // there). Scale shape: one narrow posexplode -> (vec, subspace)
+    // partial aggregation -> 32-row (subspace, codeword) rollup; two
+    // exchanges, no join, map-side partials end to end.
+    QueryDef("q63_pq_assign",
+      (s, d) => {
+        def cw(k: Int): Column = pmod(
+          lit(1103515245L) * (((col("s") * 4 + k) * 8 + col("p")) * 131 + 7)
+            + 12345L, lit(2000001L)) - lit(1000000L)
+        val ex = T.load(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "v")))
+          .select(col("vec_id"), (col("j") / 8).cast("int").as("s"),
+            pmod(col("j"), lit(8)).as("p"),
+            round(col("v").cast("double") * 1000000, 0).cast("long").as("v6"))
+        val dists = (0 until 4).map(k =>
+          sum((col("v6") - cw(k)) * (col("v6") - cw(k))).as(s"d$k"))
+        val perSub = ex.groupBy(col("vec_id"), col("s"))
+          .agg(dists.head, dists.tail: _*)
+        val pick = least((0 until 4).map(k =>
+          struct(col(s"d$k").as("d"), lit(k).as("k"))): _*)
+        perSub.select(col("s"),
+            pick.getField("k").as("codeword"),
+            // truncate-toward-zero == DuckDB's floor `//` (both operands
+            // non-negative); the quotient is < 2^53 so the double hop is
+            // exact
+            (pick.getField("d") / 1000000L).cast("long").as("dist"))
+          .groupBy(col("s").as("subspace"), col("codeword"))
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(col("dist")).as("sum_dist6"),
+            max(col("dist")).as("max_dist6"))
+          .orderBy(col("subspace"), col("codeword"))
+      },
+      Some(pqAssignOracle))
   )
+
+  /** DuckDB mirror of the q63 PQ assignment — same micro-int grid, LCG
+    * codewords, exact integer distances, smallest-id tie-break.
+    */
+  private lazy val pqAssignOracle: String = {
+    val cwSql = (k: Int) =>
+      s"((1103515245 * ((((s * 4 + $k) * 8 + p) * 131) + 7) + 12345) % 2000001 + 2000001) % 2000001 - 1000000"
+    val dSql = (0 until 4).map(k =>
+      s"CAST(sum((v6 - (${cwSql(k)})) * (v6 - (${cwSql(k)}))) AS BIGINT) AS d$k")
+      .mkString(",\n        ")
+    s"""WITH ex AS (SELECT vec_id,
+        unnest(generate_series(0, len(embedding) - 1)) AS j,
+        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v6
+      FROM embeddings),
+      sp AS (SELECT vec_id, CAST(j // 8 AS INT) AS s, j % 8 AS p, v6 FROM ex),
+      dd AS (SELECT vec_id, s,
+        $dSql
+      FROM sp GROUP BY vec_id, s),
+      a AS (SELECT s, least(d0, d1, d2, d3) AS m,
+        CASE WHEN d0 = least(d0, d1, d2, d3) THEN 0
+             WHEN d1 = least(d0, d1, d2, d3) THEN 1
+             WHEN d2 = least(d0, d1, d2, d3) THEN 2
+             ELSE 3 END AS codeword
+      FROM dd)
+      SELECT s AS subspace, codeword, count(*) AS n_assigned,
+        CAST(sum(m // 1000000) AS BIGINT) AS sum_dist6,
+        CAST(max(m // 1000000) AS BIGINT) AS max_dist6
+      FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 
   /** Connected components over an undirected pair list: returns
     * `(v, lbl)` with `lbl` = the smallest vertex id reachable from `v`.

@@ -258,6 +258,14 @@ class AtomicAndPlanSpec extends AnyFunSuite {
       s"q62 dictionary must broadcast:\n$p62")
     assert(!p62.contains("SortMergeJoin"),
       s"q62 must not shuffle the token positions for the dict join:\n$p62")
+    // q63: PQ assignment is posexplode -> (vec, subspace) partial agg ->
+    // 32-row rollup — exactly two exchanges, no join, no cartesian
+    val q63 = SparkEntry.queries("q63_pq_assign")(spark,
+      "/root/testdata/sf0.001")
+    val p63 = q63.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p63).size == 2,
+      s"q63 must shuffle exactly twice (per-vec agg + rollup):\n$p63")
+    assert(!p63.contains("Join"), s"q63 must contain no join:\n$p63")
   }
 
   test("q59: transitive clusters merge a<b<c chains that q52 over-drops") {
