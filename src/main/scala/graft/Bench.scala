@@ -113,22 +113,37 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var secLo = Double.MaxValue
     var secHi = Double.MaxValue
-    (1 to reps).foreach { _ =>
-      val sLo = session(lo, aqe = false)
-      spadlRun(sLo, docsPath) // rewarm fresh executor threads
-      secLo = math.min(secLo, spadlRun(sLo, docsPath))
-      sLo.stop()
-      val sHi = session(hi, aqe = false)
-      spadlRun(sHi, docsPath)
-      secHi = math.min(secHi, spadlRun(sHi, docsPath))
-      sHi.stop()
+    val effR = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to reps).foreach { r =>
+      def runLo(): Double = {
+        val s = session(lo, aqe = false)
+        spadlRun(s, docsPath) // rewarm fresh executor threads
+        val t = spadlRun(s, docsPath); s.stop(); t
+      }
+      def runHi(): Double = {
+        val s = session(hi, aqe = false)
+        spadlRun(s, docsPath)
+        val t = spadlRun(s, docsPath); s.stop(); t
+      }
+      // alternate order so a monotone host-throttle drift within a rep
+      // can't systematically deflate whichever side runs second; the
+      // PAIRED per-rep efficiency is throttle-robust (both legs of a pair
+      // see near-identical host state), so the headline is its median
+      val (sl, sh) =
+        if (r % 2 == 1) { val a = runLo(); (a, runHi()) }
+        else { val b = runHi(); (runLo(), b) }
+      secLo = math.min(secLo, sl)
+      secHi = math.min(secHi, sh)
+      effR += sl / (4.0 * sh)
     }
 
     val thrLo = actionRows / secLo
     val thrHi = actionRows / secHi
     val tokLo = tokensTotal / secLo
     val tokHi = tokensTotal / secHi
-    val eff = thrHi / (4.0 * thrLo)
+    val effSorted = effR.sorted
+    val eff = effSorted(effSorted.size / 2) // median of paired reps
+    val effBest = secLo / (4.0 * secHi)
 
     // ---------------- per-query timings at local[cpus]: cold (includes
     // analysis + Janino codegen — the round-over-round comparable number)
@@ -175,6 +190,6 @@ object Bench {
     val totalWarm = warm.map(_._2).sum
     val totalWarmNorm = totalWarm / hostSpeed
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(results)},"total_warm":$totalWarm%.3f,"queries_warm":${qjson(warm)},"canary":{"before_sec":$canaryBefore%.3f,"after_sec":$canaryAfter%.3f,"ref_sec":$CanaryRefSec%.3f,"host_speed_factor":$hostSpeed%.3f},"total_warm_normalized":$totalWarmNorm%.3f,"sf":"$sfDir","failed":$failedJson,"spadl_bench":{"games":$benchGames,"action_rows":$actionRows,"tokens":$tokensTotal,"cores_lo":$lo,"cores_hi":$hi,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"tokens_per_sec_lo":$tokLo%.1f,"tokens_per_sec_hi":$tokHi%.1f,"scaling_efficiency":$eff%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(results)},"total_warm":$totalWarm%.3f,"queries_warm":${qjson(warm)},"canary":{"before_sec":$canaryBefore%.3f,"after_sec":$canaryAfter%.3f,"ref_sec":$CanaryRefSec%.3f,"host_speed_factor":$hostSpeed%.3f},"total_warm_normalized":$totalWarmNorm%.3f,"sf":"$sfDir","failed":$failedJson,"spadl_bench":{"games":$benchGames,"action_rows":$actionRows,"tokens":$tokensTotal,"cores_lo":$lo,"cores_hi":$hi,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"tokens_per_sec_lo":$tokLo%.1f,"tokens_per_sec_hi":$tokHi%.1f,"scaling_efficiency":$eff%.3f,"scaling_rep_efficiencies":[${effR.map(e => f"$e%.3f").mkString(",")}],"scaling_efficiency_best_pair":$effBest%.3f}}""")
   }
 }
