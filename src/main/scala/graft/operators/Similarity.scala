@@ -330,43 +330,84 @@ object Similarity {
     * truncated clustering never escapes.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 16): DataFrame = {
+      maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint() // the upstream subtree runs ONCE, not once per round
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
+    // Scale-adaptive partitioning (guide §2): the iteration runs on the
+    // pair-graph PROJECTION — a sub-percent fraction of a deduped corpus —
+    // so the per-round frames are orders of magnitude smaller than the
+    // session's shuffle width. Derive the loop's partition count from the
+    // measured edge count (~1M edges/partition): at driver scale that is
+    // ONE partition, where every join/agg below runs exchange-free inside
+    // a single stage (SinglePartition satisfies all distributions); a
+    // 100-TB pair graph grows it linearly. The count() is a cheap scan of
+    // the already-checkpointed edges.
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
+    val t0 = System.nanoTime()
+    def mark(what: String): Unit = if (verbose)
+      println(f"[cc +${(System.nanoTime() - t0) / 1e9}%.2fs] $what")
+    val m = edges.count()
+    val p = math.max(1L, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism.toLong,
+      m / 1000000L + 1L)).toInt
+    mark(s"edges=$m partitions=$p")
+    def part(df: DataFrame, key: String): DataFrame =
+      if (p == 1) df.coalesce(1) else df.repartition(p, col(key))
+    // LAZY checkpoints throughout the loop: the convergence-probe action
+    // (lblSum) is what materializes each round's frame, so every round is
+    // ONE Spark job, not a checkpoint job + a sum job (the per-round cost
+    // at driver scale IS job dispatch). The init aggregation doubles as
+    // round 1's neighbour-min propagation (lbl_0 = min(v, N(v))) — same
+    // exchange the old vertex `distinct()` paid, one round fewer.
+    var labels = part(edges, "src")
+      .groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("v"), least(col("src"), col("mn")).as("lbl"))
+      .localCheckpoint(false)
     def lblSum(df: DataFrame): Long =
       Option(df.agg(sum(col("lbl"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     var prev = lblSum(labels)
-    var converged = labels.isEmpty
+    var converged = m == 0L // no edges -> no vertices -> nothing to iterate
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbr = edges.join(labels.withColumnRenamed("v", "nv"),
-          col("dst") === col("nv"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
-        .withColumnRenamed("src", "jv")
-      val prop = labels.join(nbr, col("v") === col("jv"), "left")
-        .select(col("v"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-      // pointer doubling: a label is itself a vertex id of the same
-      // graph, so one self-join rewrites lbl(v) to lbl(lbl(v)) and
-      // halves every label chain per round. ONE hop per round: chaining
-      // a second un-checkpointed hop re-executes the whole prop subtree
-      // multiplicatively (measured 86 s vs 4 s at sf0.1), and a
-      // checkpoint between hops costs the job the second hop would save
-      val next = prop.join(
-          prop.select(col("v").as("pv"), col("lbl").as("plbl")),
-          col("lbl") === col("pv"), "left")
-        .select(col("v"),
-          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val cur = lblSum(next)
-      converged = cur == prev
-      prev = cur
-      labels = next
+      // ONE join + ONE aggregation per round: the current label map is
+      // itself added as pointer edges (v -> lbl(v)), so the single
+      // neighbour-min pass simultaneously propagates edge-neighbour labels
+      // AND applies the pointer-doubling shortcut — min over
+      // {lbl(u): u in N(v)} ∪ {lbl(lbl(v))}, and lbl(lbl(v)) <= lbl(v)
+      // because labels are monotone (lbl <= id pointwise by induction).
+      // Label chains still halve per round (O(log diameter) rounds, the
+      // Shiloach-Vishkin large-star move); the old 3-join round (nbr-min,
+      // left-join merge, pointer self-join that re-executed its input
+      // twice) collapses into one shuffle-free stage at driver scale.
+      // Every v survives the inner join: its pointer edge (v, lbl(v))
+      // always matches lbl(v)'s own label row.
+      val aug = part(
+        edges.union(labels.select(col("v").as("src"), col("lbl").as("dst"))),
+        "dst")
+      val next = part(
+          aug.join(
+            part(labels.select(col("v").as("nv"), col("lbl").as("nl")), "nv"),
+            col("dst") === col("nv"))
+            .select(col("src"), col("nl")), "src")
+        .groupBy(col("src")).agg(min(col("nl")).as("lbl"))
+        .select(col("src").as("v"), col("lbl"))
+        .localCheckpoint(false)
       iter += 1
+      // Probe convergence every SECOND round only: per-vertex labels are
+      // monotone non-increasing, so an unchanged sum across a two-round
+      // span proves both rounds were fixpoints — and each skipped probe
+      // skips a whole driver job (the unprobed round's lazy checkpoint is
+      // simply materialized by the next probe's job, its single partition
+      // cached on first computation). Worst case: one redundant round.
+      if (iter % 2 == 0 || iter == maxIters) {
+        val cur = lblSum(next)
+        converged = cur == prev
+        prev = cur
+        mark(s"round $iter lblSum=$cur converged=$converged")
+      }
+      labels = next
     }
     require(converged,
       s"connected components did not converge in $maxIters rounds")

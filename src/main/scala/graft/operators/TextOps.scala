@@ -249,7 +249,12 @@ object TextOps {
     // construction (eval sets are thousands of docs, not billions), so the
     // join broadcasts — at 100 TB this is one narrow gram projection of the
     // corpus probed against a broadcast eval-gram set, never a shuffle of
-    // the corpus.
+    // the corpus. Per-doc gram dedup happens ROW-LOCALLY via array_distinct
+    // before the explode (a doc's grams all live in its own row), which is
+    // exactly the relation the old cross-doc `.distinct()` produced — so the
+    // corpus-wide dedup exchange is gone and the broadcast probe filter is
+    // the FIRST thing the corpus rows meet (guide §2.4/§3.2: the only
+    // pre-join work on the big side is row-local).
     QueryDef("q50_contamination",
       (s, d) => {
         val docs = T.load(s, d, "documents")
@@ -258,13 +263,13 @@ object TextOps {
           val n = size(ws)
           val idxs = when(n >= 5, sequence(lit(1), n - 4))
             .otherwise(array().cast("array<int>"))
-          df.select(col("doc_id"), explode(
-            transform(idxs, i => array_join(slice(ws, i, lit(5)), " ")))
+          df.select(col("doc_id"), explode(array_distinct(
+            transform(idxs, i => array_join(slice(ws, i, lit(5)), " "))))
             .as("gram"))
         }
         val evalG = grams(docs.filter(col("doc_id") < 20))
-          .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
-        val corpusG = grams(docs.filter(col("doc_id") >= 20)).distinct()
+          .select(col("doc_id").as("eval_doc"), col("gram"))
+        val corpusG = grams(docs.filter(col("doc_id") >= 20))
         corpusG.join(broadcast(evalG), Seq("gram"))
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("gram")).as("n_shared_grams"),
@@ -315,30 +320,49 @@ object TextOps {
     // two cheapest repetition filters a curation pipeline runs before
     // anything model-based. All counts are exact integers and the flag is
     // an integer comparison (no float thresholds), so the DuckDB oracle
-    // replays it bit-for-bit. Scale shape: two explode->partial-agg
-    // cascades keyed (doc_id, term) then doc_id — map-side combine does
-    // most of the work, the final join is two co-partitioned aggregates
-    // on doc_id (AQE-planned), nothing corpus-wide ever broadcasts.
+    // replays it bit-for-bit. Scale shape: ONE explode->partial-agg
+    // cascade keyed (doc_id, term) then doc_id — map-side combine does
+    // most of the work — joined on doc_id with a ROW-LOCAL (shuffle-free)
+    // 2-gram arithmetic branch; nothing corpus-wide ever broadcasts.
     QueryDef("q54_repetition_quality",
       (s, d) => {
+        // The 2-gram statistics are pure array arithmetic on ONE document's
+        // own row (total = size, dup excess = size - size(array_distinct)),
+        // so that branch is ROW-LOCAL — no explode, no 2-gram shuffle at
+        // all; the old second explode->groupBy->groupBy cascade (two
+        // exchanges of full 2-gram strings) is gone. top_word_n still needs
+        // the per-(doc, word) count, which the remaining word cascade
+        // provides; the doc_id join then attaches the local branch. (The
+        // local stats can NOT ride through the word explode as extra
+        // columns: Catalyst collapses the projections and re-evaluates the
+        // per-doc gram arithmetic once per exploded WORD row — measured
+        // 119 s vs 1.8 s at sf0.1.) The gram-building transform() is an
+        // INTERPRETED lambda, so it must be evaluated exactly once per doc:
+        // n_2grams is pure arithmetic (= max(n_words - 1, 0) — no gram
+        // strings needed), and only dup_2gram_excess touches the built
+        // array; the naive size(g2)/filter(size(g2)) forms inlined the
+        // transform into 4 sibling expressions (pushed filter included)
+        // and cost 4x. The old inner join dropped docs with no 2-grams
+        // (< 2 words); `n_2grams > 0` replicates that row set.
         val docs = T.load(s, d, "documents")
         val ws = words(col("text"))
+        val g2 = when(size(ws) >= 2,
+            transform(sequence(lit(1), size(ws) - 1),
+              i => array_join(slice(ws, i, lit(2)), " ")))
+          .otherwise(array().cast("array<string>"))
+        val n2 = greatest(size(ws) - 1, lit(0)).cast("long")
         val w1 = docs.select(col("doc_id"), explode(ws).as("w"))
           .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_words"),
             count(lit(1)).as("n_distinct_words"),
             max(col("c")).as("top_word_n"))
-        val g2 = docs.select(col("doc_id"), explode(
-            transform(
-              when(size(ws) >= 2, sequence(lit(1), size(ws) - 1))
-                .otherwise(array().cast("array<int>")),
-              i => array_join(slice(ws, i, lit(2)), " "))).as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n_2grams"),
-            (sum(col("c")) - count(lit(1))).as("dup_2gram_excess"))
-        w1.join(g2, Seq("doc_id"))
+        val g2local = docs.select(col("doc_id"),
+          n2.as("n_2grams"),
+          (n2 - size(array_distinct(g2)).cast("long"))
+            .as("dup_2gram_excess"))
+        w1.join(g2local, Seq("doc_id"))
+          .filter(col("n_2grams") > 0)
           .withColumn("flag_repetitive",
             ((col("top_word_n") * 5 > col("n_words")) ||
               (col("dup_2gram_excess") * 10 > col("n_2grams")))
@@ -374,21 +398,25 @@ object TextOps {
     // fraction. Complements q21-q26/q40 (doc-level detect) at SPAN
     // granularity: a doc that is 50% copied from another doc but globally
     // unique passes every doc-level filter and is caught here. Scale
-    // shape: distinct (doc, gram) -> window count over gram -> doc agg =
-    // three narrow exchanges of (doc_id, gram) pairs; the gram-keyed
-    // shuffle is the canonical substring-dedup partition and partial
-    // aggregation compacts it map-side. No all-pairs anything.
+    // shape: row-local (doc, gram) dedup -> window count over gram ->
+    // doc agg = two narrow exchanges of (doc_id, gram) pairs; the
+    // gram-keyed shuffle is the canonical substring-dedup partition.
+    // No all-pairs anything.
     QueryDef("q55_span_dedup",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = T.load(s, d, "documents")
         val ws = words(col("text"))
-        val grams = docs.select(col("doc_id"), explode(
+        // (doc_id, gram) dedup is ROW-LOCAL: all of a doc's grams sit in
+        // its own row, so array_distinct before the explode produces the
+        // exact relation the old cross-doc `.distinct()` did — minus its
+        // corpus-wide exchange. The gram-keyed window is then the FIRST
+        // (and only) shuffle of the gram table (guide §2.4).
+        val grams = docs.select(col("doc_id"), explode(array_distinct(
             transform(
               when(size(ws) >= 8, sequence(lit(1), size(ws) - 7))
                 .otherwise(array().cast("array<int>")),
-              i => array_join(slice(ws, i, lit(8)), " "))).as("gram"))
-          .distinct()
+              i => array_join(slice(ws, i, lit(8)), " ")))).as("gram"))
         grams
           .withColumn("nd",
             count(lit(1)).over(Window.partitionBy(col("gram"))))
@@ -587,9 +615,9 @@ object TextOps {
     // --------------- cross-source overlap matrix: for every source pair,
     // how many distinct word-8-grams they share — the inter-corpus
     // contamination dashboard (is src_web a superset of src_books?) that
-    // sits above q50's corpus-vs-evalset check. Scale shape: distinct
-    // (source, gram) is one map-side-combined exchange; the gram-keyed
-    // aggregation folds each gram's source list into a SET BOUNDED BY THE
+    // sits above q50's corpus-vs-evalset check. Scale shape: per-doc gram
+    // dedup is row-local; the gram-keyed aggregation (the table's ONLY
+    // exchange) folds each gram's source list into a SET BOUNDED BY THE
     // SOURCE COUNT (tens) — NEVER a self-join on the gram table, so a
     // popular gram costs O(S) state, not O(S^2) join rows — and only the
     // ≤ S^2/2 pair rows ever leave the aggregation. The oracle replays the
@@ -598,12 +626,16 @@ object TextOps {
       (s, d) => {
         val docs = T.load(s, d, "documents")
         val ws = words(col("text"))
-        val grams = docs.select(col("source"), explode(
+        // per-doc gram dedup is row-local (array_distinct); the cross-doc
+        // (source, gram) dedup the old `.distinct()` exchange paid for is
+        // already subsumed by collect_set below — sets are duplicate-
+        // insensitive and partial collect_set dedups map-side — so the
+        // gram-keyed aggregation is the ONLY shuffle of the gram table.
+        val grams = docs.select(col("source"), explode(array_distinct(
             transform(
               when(size(ws) >= 8, sequence(lit(1), size(ws) - 7))
                 .otherwise(array().cast("array<int>")),
-              i => array_join(slice(ws, i, lit(8)), " "))).as("gram"))
-          .distinct()
+              i => array_join(slice(ws, i, lit(8)), " ")))).as("gram"))
         grams.groupBy(col("gram"))
           .agg(sort_array(collect_set(col("source"))).as("ss"))
           .filter(size(col("ss")) >= 2)
