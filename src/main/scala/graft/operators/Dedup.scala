@@ -299,29 +299,55 @@ object Dedup {
       (0 until 64).map { bit =>
         when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _).as("simhash"))
-    val banded = sim.select(col("doc_id"), col("simhash"),
+    // The band self-join runs on DISTINCT SIGNATURES, not docs (guide §8:
+    // decide on the lightweight proxy, attach the payload once): docs with
+    // equal simhashes — entire near-duplicate cohorts by construction —
+    // collapse to one representative row carrying their doc_id list, so a
+    // hot 16-bit chunk joins |distinct sigs| rows instead of |docs| (the
+    // doc-level join produced 2.18M candidate pairs at sf0.1; the sig-level
+    // one a few thousand, with hamming computed once per signature PAIR
+    // instead of once per doc pair). The doc lists re-expand only for
+    // surviving sig pairs — whose cross products are exactly the output.
+    // collect_list state is bounded by the identical-sig cohort size, the
+    // same bound the (required) pairwise output already imposes.
+    val sigDocs = sim.groupBy(col("simhash"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+    val banded = sigDocs.select(col("simhash"), col("docs"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk"))
-      // one materialized exchange feeds both self-join sides + the sort
-      // sampler (AQE stage reuse — the signature subtree runs ONCE)
+      .select(col("simhash"), col("docs"), col("bb.band"), col("bb.chunk"))
+      // one materialized exchange feeds both self-join sides (AQE stage
+      // reuse — the signature subtree runs ONCE)
       .repartition(col("band"), col("chunk"))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    val sigPairs = a.join(b, col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash") <= col("b.simhash"))
+      .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"),
+        col("a.docs").as("docs_a"), col("b.docs").as("docs_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      // Hamming filter BEFORE the distinct: filter and distinct commute,
-      // and the filter kills the candidate fan-out (a hot 16-bit chunk
-      // over near-identical word-salad docs makes millions of pairs —
-      // 2.18M at sf0.1 — of which only the sub-threshold few survive), so
-      // the dedup exchange ships survivors, not candidates
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      // band-level dedup at the sig-pair grain (a pair matching in two
+      // bands appears twice); a doc pair maps to exactly ONE sig pair, so
+      // no doc-level distinct is needed after expansion
+      .groupBy(col("sig_a"), col("sig_b"))
+      .agg(first(col("docs_a")).as("docs_a"),
+        first(col("docs_b")).as("docs_b"),
+        first(col("hamming")).as("hamming"))
+    sigPairs
+      .select(col("sig_a"), col("sig_b"), col("hamming"),
+        explode(col("docs_a")).as("da"), col("docs_b"))
+      .select(col("sig_a"), col("sig_b"), col("hamming"), col("da"),
+        explode(col("docs_b")).as("db"))
+      // identity sig pair (sig_a = sig_b) crosses a list with itself:
+      // da < db keeps each within-cohort pair once; cross-sig pairs are
+      // unique already and only need id-order normalization
+      .filter(col("sig_a") =!= col("sig_b") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -48,15 +48,18 @@ object MediaCodec extends Serializable {
     encodeFrame(width(docId), height(docId),
       i => text.charAt(i % text.length).toInt)
 
-  /** one w x h TYPE_BYTE_GRAY frame, PNG-encoded in memory */
+  /** one w x h TYPE_BYTE_GRAY frame, PNG-encoded in memory. Pixels move
+    * through the raster's BULK setSamples call (one bounds-checked copy per
+    * frame instead of one per pixel — the per-sample loop re-resolved the
+    * sample model w*h times); the PNG deflate itself is the intended real
+    * compute and is untouched.
+    */
   def encodeFrame(w: Int, h: Int, px: Int => Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
+    val samples = new Array[Int](w * h)
     var i = 0
-    while (i < w * h) {
-      raster.setSample(i % w, i / w, 0, px(i) & 0xff)
-      i += 1
-    }
+    while (i < w * h) { samples(i) = px(i) & 0xff; i += 1 }
+    img.getRaster.setSamples(0, 0, w, h, 0, samples)
     val bos = new ByteArrayOutputStream()
     val in = ImageIO.getImageWritersByFormatName("png")
     require(in.hasNext, "no PNG writer in this JDK")
@@ -73,13 +76,14 @@ object MediaCodec extends Serializable {
     require(img != null, "payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
-    val raster = img.getRaster
+    // bulk getSamples: every value still comes off the DECODED raster
+    // (no metadata side-channel), one bounds-checked copy per frame
+    // instead of one per pixel
+    val samples = img.getRaster.getSamples(0, 0, w, h, 0,
+      null.asInstanceOf[Array[Int]])
     var sum = 0L
     var i = 0
-    while (i < w * h) {
-      sum += raster.getSample(i % w, i / w, 0)
-      i += 1
-    }
+    while (i < w * h) { sum += samples(i); i += 1 }
     (w, h, sum)
   }
 

@@ -497,9 +497,16 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()
-    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+    // ONE broadcast serves both embedding re-attach joins: the build-side
+    // subtree is textually identical for both, so the second join reuses
+    // the first's BroadcastExchange (ReusedExchange) instead of building
+    // and shipping the relation twice
+    val ee = e.select(col("vec_id").as("eid"), col("embedding").as("eemb"))
+    cand.join(broadcast(ee), col("vec_a") === col("eid"))
+      .select(col("vec_a"), col("vec_b"), col("eemb").as("emb_a"))
+      .join(broadcast(ee), col("vec_b") === col("eid"))
+      .select(col("vec_a"), col("vec_b"), col("emb_a"),
+        col("eemb").as("emb_b"))
       .withColumn("cosine", round(
         dot(col("emb_a"), col("emb_b")) /
           (norm(col("emb_a")) * norm(col("emb_b"))), 4))
