@@ -451,11 +451,16 @@ object Dedup {
       .filter(col("sh").isNotNull)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("sh")).as("sh"))
+    // shTbl is O(candidate docs) — small by the bucket cap — so BOTH
+    // verify joins broadcast it, and the identical build subtree means the
+    // second join reuses the first's BroadcastExchange instead of
+    // exchanging the candidate pairs twice
+    val shT = shTbl.select(col("doc_id").as("sid"), col("sh").as("ssh"))
     cands
-      .join(shTbl.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        Seq("doc_a"))
-      .join(shTbl.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"))
+      .join(broadcast(shT), col("doc_a") === col("sid"))
+      .select(col("doc_a"), col("doc_b"), col("ssh").as("sh_a"))
+      .join(broadcast(shT), col("doc_b") === col("sid"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("ssh").as("sh_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))

@@ -49,13 +49,17 @@ object Similarity {
     QueryDef("q33_cosine_topk",
       (s, d) => {
         val e = T.load(s, d, "embeddings")
+        // the query vector's norm — an interpreted higher-order aggregate —
+        // is computed ONCE inside the single-row broadcast, not once per
+        // scanned corpus row (norm is pure, so the double math is identical)
         val q = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"))
+          .select(col("embedding").as("q_emb"),
+            norm(col("embedding")).as("q_norm"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("cosine", round(
             dot(col("embedding"), col("q_emb")) /
-              (norm(col("embedding")) * norm(col("q_emb"))), 4))
+              (norm(col("embedding")) * col("q_norm")), 4))
           .select(col("vec_id"), col("label"), col("cosine"))
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(10)
@@ -500,16 +504,22 @@ object Similarity {
     // ONE broadcast serves both embedding re-attach joins: the build-side
     // subtree is textually identical for both, so the second join reuses
     // the first's BroadcastExchange (ReusedExchange) instead of building
-    // and shipping the relation twice
-    val ee = e.select(col("vec_id").as("eid"), col("embedding").as("eemb"))
+    // and shipping the relation twice. The L2 norm — an INTERPRETED
+    // higher-order aggregate — is computed once per VECTOR inside the
+    // broadcast build (2k evals at sf0.1) instead of twice per candidate
+    // pair (77k); norm is a pure function so cosine's double arithmetic
+    // is bit-identical.
+    val ee = e.select(col("vec_id").as("eid"), col("embedding").as("eemb"),
+      norm(col("embedding")).as("enorm"))
     cand.join(broadcast(ee), col("vec_a") === col("eid"))
-      .select(col("vec_a"), col("vec_b"), col("eemb").as("emb_a"))
+      .select(col("vec_a"), col("vec_b"), col("eemb").as("emb_a"),
+        col("enorm").as("norm_a"))
       .join(broadcast(ee), col("vec_b") === col("eid"))
-      .select(col("vec_a"), col("vec_b"), col("emb_a"),
-        col("eemb").as("emb_b"))
+      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("norm_a"),
+        col("eemb").as("emb_b"), col("enorm").as("norm_b"))
       .withColumn("cosine", round(
         dot(col("emb_a"), col("emb_b")) /
-          (norm(col("emb_a")) * norm(col("emb_b"))), 4))
+          (col("norm_a") * col("norm_b")), 4))
       .filter(col("cosine") >= NdThreshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -622,14 +632,15 @@ object Similarity {
       col("q_sig") +: (0 until 8).map(b =>
         col("q_sig").bitwiseXOR(lit(1L << b))): _*)).as("p_sig"))
     val qEmb = e.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("q_emb"))
+      .select(col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm")) // once, in the broadcast
     sig.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(probes), col("sig") === col("p_sig"))
       .join(e, Seq("vec_id"))
       .crossJoin(broadcast(qEmb))
       .withColumn("cosine", round(
         dot(col("embedding"), col("q_emb")) /
-          (norm(col("embedding")) * norm(col("q_emb"))), 4))
+          (norm(col("embedding")) * col("q_norm")), 4))
       .select(col("vec_id"), col("label"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
@@ -659,13 +670,14 @@ object Similarity {
       .orderBy(col("qd2"), col("label")).limit(nprobe)
       .select(col("label"))
     val qEmb = e.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("q_emb"))
+      .select(col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm")) // once, in the broadcast
     e.join(broadcast(probed), Seq("label")) // partition-pruned scan at scale
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(qEmb))
       .withColumn("cosine", round(
         dot(col("embedding"), col("q_emb")) /
-          (norm(col("embedding")) * norm(col("q_emb"))), 4))
+          (norm(col("embedding")) * col("q_norm")), 4))
       .select(col("vec_id"), col("label"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)

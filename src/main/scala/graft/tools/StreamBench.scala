@@ -160,6 +160,17 @@ object StreamBench {
       extra: Map[String, String] = Map.empty)
       : (Long, Double, Long, Double, Double) = {
     pinCpus(cores)
+    // any failure below (session start, stream timeout require) must not
+    // leave the WHOLE JVM pinned to a reduced cpuset for subsequent code
+    // in this process (round-5 ADVICE)
+    try runPinned(cores, srcDir, root, tag, saltParts, extra)
+    finally unpinCpus()
+  }
+
+  private def runPinned(cores: Int, srcDir: String, root: String,
+      tag: String, saltParts: Option[Int],
+      extra: Map[String, String])
+      : (Long, Double, Long, Double, Double) = {
     val spark = session(cores, extra)
     val outDir = s"$root/out_$tag"
     val ck = s"$root/ck_$tag"
@@ -220,7 +231,6 @@ object StreamBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val rows = new ExactlyOnceSink(outDir).read(spark).count()
     spark.stop()
-    unpinCpus()
     (rows, sec, susRows, susMs / 1000.0, allMs / 1000.0)
   }
 
@@ -394,15 +404,16 @@ object StreamBench {
     // clean-rep ratio is the median of per-rep ratios over clean reps
     val clean = (0 until reps).filter(i =>
       canBefore(i) <= canaryThreshold && canAfter(i) <= canaryThreshold)
-    def ratioMed(tag: String): Double = {
-      val idx = if (clean.nonEmpty) clean else 0 until reps
-      median(idx.map(i => evps(tag)(i) / evps("uniform")(i)))
-    }
+    // with NO clean rep the clean_* fields are honest JSON nulls, not a
+    // silent alias of the throttled-rep medians (round-5 ADVICE)
+    def ratioMed(tag: String): String =
+      if (clean.isEmpty) "null"
+      else f"${median(clean.map(i => evps(tag)(i) / evps("uniform")(i)))}%.3f"
     val stateName =
       if (sys.env.get("GRAFT_STATE").contains("rocksdb")) "rocksdb" else "hdfs-heap"
     val perRep = cfgs.map(c => s""""${c.tag}":[${evps(c.tag)
       .map(v => f"$v%.0f").mkString(",")}]""").mkString(",")
-    println(f"""{"stream_skew_bench":{"state_store":"$stateName","cpuset":${sys.env.contains("SPARK_GRAFT_CPUSET")},"games":$games,"hot_games":$hotGames,"per_game":$perGame,"uniform_events":${uni.size},"skew_events":$skewTotal,"hot_shard_pct":${hotEv.size * 100 / skewTotal},"hot_file_mb":${hotFileBytes / 1024 / 1024},"reps":$reps,"uniform_evps":${med("uniform")}%.0f,"skew_splittable_evps":${med("skew_split")}%.0f,"skew_hotshard_evps":${med("skew_hot")}%.0f,"skew_hotshard_salted_evps":${med("skew_hot_salt")}%.0f,"skew_splittable_ratio":${med("skew_split") / med("uniform")}%.3f,"skew_hotshard_ratio":${med("skew_hot") / med("uniform")}%.3f,"skew_hotshard_salted_ratio":${med("skew_hot_salt") / med("uniform")}%.3f,"per_rep_evps":{$perRep},"canary_ref_sec":${graft.Bench.CanaryRefSec}%.3f,"canary_threshold":$canaryThreshold%.2f,"canary_before":[${canBefore.map(c => f"$c%.2f").mkString(",")}],"canary_after":[${canAfter.map(c => f"$c%.2f").mkString(",")}],"clean_reps":${clean.size},"clean_splittable_ratio":${ratioMed("skew_split")}%.3f,"clean_hotshard_ratio":${ratioMed("skew_hot")}%.3f,"clean_hotshard_salted_ratio":${ratioMed("skew_hot_salt")}%.3f,"digests_equal":true}}""")
+    println(f"""{"stream_skew_bench":{"state_store":"$stateName","cpuset":${sys.env.contains("SPARK_GRAFT_CPUSET")},"games":$games,"hot_games":$hotGames,"per_game":$perGame,"uniform_events":${uni.size},"skew_events":$skewTotal,"hot_shard_pct":${hotEv.size * 100 / skewTotal},"hot_file_mb":${hotFileBytes / 1024 / 1024},"reps":$reps,"uniform_evps":${med("uniform")}%.0f,"skew_splittable_evps":${med("skew_split")}%.0f,"skew_hotshard_evps":${med("skew_hot")}%.0f,"skew_hotshard_salted_evps":${med("skew_hot_salt")}%.0f,"skew_splittable_ratio":${med("skew_split") / med("uniform")}%.3f,"skew_hotshard_ratio":${med("skew_hot") / med("uniform")}%.3f,"skew_hotshard_salted_ratio":${med("skew_hot_salt") / med("uniform")}%.3f,"per_rep_evps":{$perRep},"canary_ref_sec":${graft.Bench.CanaryRefSec}%.3f,"canary_threshold":$canaryThreshold%.2f,"canary_before":[${canBefore.map(c => f"$c%.2f").mkString(",")}],"canary_after":[${canAfter.map(c => f"$c%.2f").mkString(",")}],"clean_reps":${clean.size},"clean_splittable_ratio":${ratioMed("skew_split")},"clean_hotshard_ratio":${ratioMed("skew_hot")},"clean_hotshard_salted_ratio":${ratioMed("skew_hot_salt")},"digests_equal":true}}""")
   }
 
   /** Timed crash-recovery benchmark (the north rule's resumability row,
@@ -499,23 +510,32 @@ object StreamBench {
       val ckRec = s"$root/ck_rec$r"
       val s1 = session(8)
       val crashed = new java.util.concurrent.CountDownLatch(1)
+      val dataBatchCount = new java.util.concurrent.atomic.AtomicInteger(0)
       s1.streams.addListener(
         new org.apache.spark.sql.streaming.StreamingQueryListener {
-          private var dataBatches = 0
           override def onQueryStarted(e: org.apache.spark.sql.streaming
             .StreamingQueryListener.QueryStartedEvent): Unit = ()
           override def onQueryProgress(e: org.apache.spark.sql.streaming
               .StreamingQueryListener.QueryProgressEvent): Unit = {
-            if (e.progress.numInputRows >= 1000) dataBatches += 1
-            if (dataBatches >= crashAfter) crashed.countDown()
+            if (e.progress.numInputRows >= 1000) dataBatchCount.incrementAndGet()
+            if (dataBatchCount.get() >= crashAfter) crashed.countDown()
           }
+          // also release the latch if the AvailableNow run TERMINATES with
+          // fewer than crashAfter data batches (small corpus / large MFPT)
+          // instead of hanging the bench forever; the require below then
+          // fails with the real cause (round-5 ADVICE)
           override def onQueryTerminated(e: org.apache.spark.sql.streaming
-            .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+            .StreamingQueryListener.QueryTerminatedEvent): Unit =
+            crashed.countDown()
         })
       val t1 = System.nanoTime()
       val q1 = StreamJob.start(s1, streamOf(s1), outRec, ckRec,
         trigger = Trigger.AvailableNow())
       crashed.await()
+      require(dataBatchCount.get() >= crashAfter,
+        s"recovery bench: stream terminated after ${dataBatchCount.get()} " +
+          s"data batches, before the crash point ($crashAfter) — shrink " +
+          "SPARK_GRAFT_CRASH_AFTER or the per-trigger file count")
       q1.stop() // driver loss between triggers; uncommitted work is gone
       crashWall += (System.nanoTime() - t1) / 1e9
       rowsAtCrash += new ExactlyOnceSink(outRec).read(s1).count()
@@ -738,13 +758,15 @@ object StreamBench {
     // leaving the pair — the artifact-level adjudication of host state
     val clean = (0 until reps).filter(i =>
       canBefore(i) <= canaryThreshold && canAfter(i) <= canaryThreshold)
+    // honest nulls when no rep was canary-clean (round-5 ADVICE): a
+    // clean_* field must never alias the unfiltered median
     val fullCleanEff =
-      if (clean.nonEmpty) median(clean.map(fullEffR)) else fullMedEff
+      if (clean.nonEmpty) f"${median(clean.map(fullEffR))}%.3f" else "null"
     val susCleanEff =
-      if (clean.nonEmpty) median(clean.map(effR)) else medEff
+      if (clean.nonEmpty) f"${median(clean.map(effR))}%.3f" else "null"
     val stateName =
       if (sys.env.get("GRAFT_STATE").contains("rocksdb")) "rocksdb"
       else "hdfs-heap"
-    println(f"""{"stream_bench":{"state_store":"$stateName","cpuset":${sys.env.contains("SPARK_GRAFT_CPUSET")},"games":$games,"event_rows":$nEvents,"action_rows":$rows,"cores_lo":2,"cores_hi":8,"wall_rows_per_sec_lo":${rows / secLo}%.1f,"wall_rows_per_sec_hi":${rows / secHi}%.1f,"wall_efficiency":$eff%.3f,"sustained_events_per_sec_lo":$susLo%.1f,"sustained_events_per_sec_hi":$susHi%.1f,"sustained_efficiency":$susEff%.3f,"sustained_median_lo":$medLo%.1f,"sustained_median_hi":$medHi%.1f,"paired_rep_efficiencies":[${effR.map(e => f"$e%.3f").mkString(",")}],"sustained_median_efficiency":$medEff%.3f,"full_pipeline_lo":$fullMedLo%.1f,"full_pipeline_hi":$fullMedHi%.1f,"full_pipeline_rep_efficiencies":[${fullEffR.map(e => f"$e%.3f").mkString(",")}],"full_pipeline_median_efficiency":$fullMedEff%.3f,"canary_ref_sec":${graft.Bench.CanaryRefSec}%.3f,"canary_threshold":$canaryThreshold%.2f,"canary_before":[${canBefore.map(c => f"$c%.2f").mkString(",")}],"canary_after":[${canAfter.map(c => f"$c%.2f").mkString(",")}],"clean_reps":${clean.size},"sustained_clean_median_efficiency":$susCleanEff%.3f,"full_pipeline_clean_median_efficiency":$fullCleanEff%.3f,"reps":$reps}}""")
+    println(f"""{"stream_bench":{"state_store":"$stateName","cpuset":${sys.env.contains("SPARK_GRAFT_CPUSET")},"games":$games,"event_rows":$nEvents,"action_rows":$rows,"cores_lo":2,"cores_hi":8,"wall_rows_per_sec_lo":${rows / secLo}%.1f,"wall_rows_per_sec_hi":${rows / secHi}%.1f,"wall_efficiency":$eff%.3f,"sustained_events_per_sec_lo":$susLo%.1f,"sustained_events_per_sec_hi":$susHi%.1f,"sustained_efficiency":$susEff%.3f,"sustained_median_lo":$medLo%.1f,"sustained_median_hi":$medHi%.1f,"paired_rep_efficiencies":[${effR.map(e => f"$e%.3f").mkString(",")}],"sustained_median_efficiency":$medEff%.3f,"full_pipeline_lo":$fullMedLo%.1f,"full_pipeline_hi":$fullMedHi%.1f,"full_pipeline_rep_efficiencies":[${fullEffR.map(e => f"$e%.3f").mkString(",")}],"full_pipeline_median_efficiency":$fullMedEff%.3f,"canary_ref_sec":${graft.Bench.CanaryRefSec}%.3f,"canary_threshold":$canaryThreshold%.2f,"canary_before":[${canBefore.map(c => f"$c%.2f").mkString(",")}],"canary_after":[${canAfter.map(c => f"$c%.2f").mkString(",")}],"clean_reps":${clean.size},"sustained_clean_median_efficiency":$susCleanEff,"full_pipeline_clean_median_efficiency":$fullCleanEff,"reps":$reps}}""")
   }
 }
