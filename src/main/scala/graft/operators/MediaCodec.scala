@@ -34,6 +34,20 @@ object MediaCodec extends Serializable {
   // would write a temp file per encode/decode on the executors
   ImageIO.setUseCache(false)
 
+  // one PNG writer per executor thread, reused across frames (guide §4.5:
+  // construct heavyweight state once per task, not per row): the registry
+  // lookup + writer construction per encodeFrame call is pure overhead —
+  // setOutput/reset is the supported reuse protocol and the encoded bytes
+  // are identical (same encoder, same defaults)
+  private val pngWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter = {
+        val it = ImageIO.getImageWritersByFormatName("png")
+        require(it.hasNext, "no PNG writer in this JDK")
+        it.next()
+      }
+    }
+
   // ---------------------------------------------------------- still images
 
   /** deterministic per-document dimensions (8..16 x 8..16) */
@@ -61,9 +75,15 @@ object MediaCodec extends Serializable {
     while (i < w * h) { samples(i) = px(i) & 0xff; i += 1 }
     img.getRaster.setSamples(0, 0, w, h, 0, samples)
     val bos = new ByteArrayOutputStream()
-    val in = ImageIO.getImageWritersByFormatName("png")
-    require(in.hasNext, "no PNG writer in this JDK")
-    require(ImageIO.write(img, "png", bos), "PNG encode failed")
+    val wr = pngWriter.get()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.write(img)
+    } finally {
+      wr.setOutput(null)
+      ios.close()
+    }
     bos.toByteArray
   }
 
